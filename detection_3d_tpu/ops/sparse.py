@@ -1,0 +1,234 @@
+"""SparseTensor: the on-device sorted voxel table.
+
+TPU-native replacement for SparseConvNet's SparseConvNetTensor + Metadata
+(/root/reference/SparseConvNet/sparseconvnet/sparseConvNetTensor.py:12,
+SCN/Metadata/Metadata.h:24-163). Instead of CPU hash maps and per-op
+rulebook caches, a SparseTensor keeps:
+
+  * ``coords`` (V, 4) int32 [x, y, z, b] — active sites, lexicographically
+    sorted by (hi, lo) key; padding rows carry INVALID keys and sort last;
+  * ``feats`` (V, C) — active-site features (padding rows are zero);
+  * ``hi``/``lo`` (V,) int32 — the sorted key pair (cached);
+  * ``num`` scalar int32 — number of active rows;
+  * static aux: ``spatial_size`` (X, Y, Z) and ``batch_size``.
+
+V is a static capacity; all ops mask with ``row_valid``. Neighbor indices
+(the "rulebook" equivalent) are dense per-offset gather index arrays built
+once per scale with a vectorized binary search and cached by the backbone
+for the duration of a forward pass.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from detection_3d_tpu.ops.coords import (
+    INVALID, pack_key, lex_sort, lex_searchsorted, unique_consecutive_segments,
+)
+
+
+@jax.tree_util.register_pytree_node_class
+class SparseTensor:
+    """Sorted sparse voxel table (pytree: coords/feats/hi/lo/num traced)."""
+
+    def __init__(self, coords, feats, hi, lo, num, spatial_size, batch_size):
+        self.coords = coords
+        self.feats = feats
+        self.hi = hi
+        self.lo = lo
+        self.num = num
+        self.spatial_size = tuple(int(s) for s in spatial_size)
+        self.batch_size = int(batch_size)
+
+    # -- pytree protocol ---------------------------------------------------
+    def tree_flatten(self):
+        children = (self.coords, self.feats, self.hi, self.lo, self.num)
+        aux = (self.spatial_size, self.batch_size)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        coords, feats, hi, lo, num = children
+        spatial_size, batch_size = aux
+        return cls(coords, feats, hi, lo, num, spatial_size, batch_size)
+
+    # -- helpers -----------------------------------------------------------
+    @property
+    def capacity(self) -> int:
+        return self.coords.shape[0]
+
+    @property
+    def num_channels(self) -> int:
+        return self.feats.shape[-1]
+
+    @property
+    def row_valid(self):
+        return jnp.arange(self.capacity) < self.num
+
+    def with_feats(self, feats):
+        return SparseTensor(self.coords, feats, self.hi, self.lo, self.num,
+                            self.spatial_size, self.batch_size)
+
+    def lookup(self, coords, valid=None):
+        """Find rows for query coords (..., 4). Returns (idx, found)."""
+        qhi, qlo = pack_key(coords, self.spatial_size, valid)
+        return lex_searchsorted(self.hi, self.lo, qhi, qlo)
+
+
+def build_sparse_tensor(coords, feats, valid, spatial_size, batch_size,
+                        capacity: int, reduce: str = "mean"):
+    """Deduplicating input layer: raw voxel coords -> SparseTensor.
+
+    Equivalent of SCN InputLayer mode=4 (dedup + average duplicate features,
+    /root/reference/SparseConvNet/sparseconvnet/ioLayers.py:31-65): rows with
+    equal (x,y,z,b) are merged; ``reduce`` 'mean' averages their features
+    ('sum'/'max' also supported). Out-of-grid and ``~valid`` rows are dropped
+    (the reference filters them host-side, suncg_dataset.py:160-171).
+
+    Args:
+      coords: (N, 4) int32 [x, y, z, b];
+      feats: (N, C);
+      valid: (N,) bool or None;
+      capacity: static output table size (pad/truncate to this many voxels).
+    """
+    n = coords.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    hi, lo = pack_key(coords, spatial_size, valid)
+    hi, lo, coords_s, feats_s = lex_sort(hi, lo, coords, feats)
+    seg_id, is_first, num_vox = unique_consecutive_segments(hi, lo)
+
+    seg_id_c = jnp.minimum(seg_id, capacity - 1)
+    ones = (hi != INVALID).astype(feats.dtype)
+    if reduce == "max":
+        out_feats = jax.ops.segment_max(
+            jnp.where((hi != INVALID)[:, None], feats_s,
+                      jnp.finfo(feats.dtype).min),
+            seg_id_c, num_segments=capacity)
+        out_feats = jnp.where(jnp.isfinite(out_feats), out_feats, 0.0)
+    else:
+        sums = jax.ops.segment_sum(feats_s * ones[:, None], seg_id_c,
+                                   num_segments=capacity)
+        if reduce == "mean":
+            counts = jax.ops.segment_sum(ones, seg_id_c, num_segments=capacity)
+            out_feats = sums / jnp.maximum(counts, 1.0)[:, None]
+        else:
+            out_feats = sums
+
+    # representative coords/keys per segment (first occurrence)
+    first_idx = jax.ops.segment_min(
+        jnp.where(hi != INVALID, jnp.arange(n), n), seg_id_c,
+        num_segments=capacity)
+    in_range = first_idx < n
+    gather_idx = jnp.minimum(first_idx, n - 1)
+    out_coords = jnp.where(in_range[:, None], coords_s[gather_idx], INVALID)
+    out_hi = jnp.where(in_range, hi[gather_idx], INVALID)
+    out_lo = jnp.where(in_range, lo[gather_idx], INVALID)
+
+    num = jnp.minimum(num_vox, capacity)
+    row_ok = jnp.arange(capacity) < num
+    out_feats = jnp.where(row_ok[:, None], out_feats, 0.0)
+    out_coords = jnp.where(row_ok[:, None], out_coords, INVALID)
+    out_hi = jnp.where(row_ok, out_hi, INVALID)
+    out_lo = jnp.where(row_ok, out_lo, INVALID)
+    return SparseTensor(out_coords, out_feats, out_hi, out_lo, num,
+                        spatial_size, batch_size)
+
+
+def submanifold_offsets(kernel: Tuple[int, int, int]):
+    """Centered kernel offsets for submanifold conv (odd kernel sizes)."""
+    kx, ky, kz = kernel
+    offs = []
+    for dx in range(-(kx // 2), kx // 2 + 1):
+        for dy in range(-(ky // 2), ky // 2 + 1):
+            for dz in range(-(kz // 2), kz // 2 + 1):
+                offs.append((dx, dy, dz))
+    return offs
+
+
+def neighbor_indices(table: SparseTensor, offsets):
+    """Per-offset gather indices into the table (the 'rulebook').
+
+    Equivalent information to SubmanifoldConvolution_SgsToRules
+    (/root/reference/SparseConvNet/sparseconvnet/SCN/Metadata/
+    SubmanifoldConvolutionRules.h:26-57), but as dense (K, V) index arrays:
+    idx[k, i] = row of neighbor of site i at offset k, or V (a zero pad row)
+    when absent.
+    """
+    v = table.capacity
+    zero = jnp.zeros((1, 4), jnp.int32)
+    idx_list = []
+    for off in offsets:
+        delta = jnp.array([off[0], off[1], off[2], 0], jnp.int32)
+        q = table.coords + delta
+        idx, found = table.lookup(q, valid=table.row_valid)
+        idx_list.append(jnp.where(found, idx, v))
+    return jnp.stack(idx_list, axis=0)
+
+
+def downsample_table(table: SparseTensor, kernel, stride, capacity: int):
+    """Build the strided-conv output table.
+
+    Semantics of Convolution_InputSgToRulesAndOutputSg
+    (/root/reference/SparseConvNet/sparseconvnet/SCN/Metadata/
+    ConvolutionRules.h:11-60): an output site exists iff >= 1 active input
+    lies in its receptive field [o*stride, o*stride + kernel). Each input at
+    x contributes to outputs o in ceil((x-k+1)/s) .. floor(x/s); we expand
+    those candidates (prod(ceil(k/s)) per axis), dedup by sorted key.
+
+    Returns a SparseTensor over the downsampled grid with zero features
+    (shape (capacity, 0)); conv fills features separately.
+    """
+    ksz = tuple(kernel)
+    st = tuple(stride)
+    reach = [max(1, -(-k // s)) for k, s in zip(ksz, st)]  # ceil(k/s)
+    out_size = tuple(-(-d // s) for d, s in zip(table.spatial_size, st))
+
+    cand_coords = []
+    cand_valid = []
+    x = table.coords[:, 0]
+    y = table.coords[:, 1]
+    z = table.coords[:, 2]
+    b = table.coords[:, 3]
+    rv = table.row_valid
+    for ax_off_x in range(reach[0]):
+        for ax_off_y in range(reach[1]):
+            for ax_off_z in range(reach[2]):
+                # candidate output = floor(x/s) - axis offset; valid iff the
+                # input is inside that output's kernel window
+                ox = x // st[0] - ax_off_x
+                oy = y // st[1] - ax_off_y
+                oz = z // st[2] - ax_off_z
+                okx = (x - ox * st[0] < ksz[0]) & (ox >= 0)
+                oky = (y - oy * st[1] < ksz[1]) & (oy >= 0)
+                okz = (z - oz * st[2] < ksz[2]) & (oz >= 0)
+                cand_coords.append(jnp.stack([ox, oy, oz, b], axis=-1))
+                cand_valid.append(okx & oky & okz & rv)
+    coords_all = jnp.concatenate(cand_coords, axis=0)
+    valid_all = jnp.concatenate(cand_valid, axis=0)
+
+    empty_feats = jnp.zeros((coords_all.shape[0], 0), table.feats.dtype)
+    return build_sparse_tensor(coords_all, empty_feats, valid_all, out_size,
+                               table.batch_size, capacity, reduce="sum")
+
+
+def conv_rulebook(out_table: SparseTensor, in_table: SparseTensor,
+                  kernel, stride):
+    """Gather indices for a strided conv: for each output site o and kernel
+    offset k, find input site o*stride + k. Returns (K, V_out) indices into
+    the input table (V_in = missing)."""
+    st = jnp.array([stride[0], stride[1], stride[2], 1], jnp.int32)
+    base = out_table.coords * st
+    v_in = in_table.capacity
+    idx_list = []
+    for kx in range(kernel[0]):
+        for ky in range(kernel[1]):
+            for kz in range(kernel[2]):
+                delta = jnp.array([kx, ky, kz, 0], jnp.int32)
+                q = base + delta
+                idx, found = in_table.lookup(q, valid=out_table.row_valid)
+                idx_list.append(jnp.where(found, idx, v_in))
+    return jnp.stack(idx_list, axis=0)

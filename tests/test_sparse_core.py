@@ -1,0 +1,193 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from detection_3d_tpu.ops.coords import (
+    INVALID, pack_key, lex_searchsorted, lex_sort,
+)
+from detection_3d_tpu.ops.sparse import (
+    SparseTensor, build_sparse_tensor, submanifold_offsets, neighbor_indices,
+    downsample_table, conv_rulebook,
+)
+from detection_3d_tpu.ops.sparse_conv import (
+    submanifold_conv, strided_conv, deconv, deconv_rulebook,
+)
+
+
+def make_table(coords_np, feats_np, spatial, batch=1, cap=None):
+    n = coords_np.shape[0]
+    cap = cap or n + 5
+    return build_sparse_tensor(
+        jnp.array(coords_np, jnp.int32), jnp.array(feats_np, jnp.float32),
+        jnp.ones((n,), bool), spatial, batch, cap)
+
+
+def test_lex_searchsorted():
+    hi = jnp.array([0, 0, 1, 3, 3, INVALID], jnp.int32)
+    lo = jnp.array([1, 5, 2, 0, 9, INVALID], jnp.int32)
+    qh = jnp.array([0, 0, 1, 3, 3, 2, 0], jnp.int32)
+    ql = jnp.array([1, 5, 2, 0, 9, 2, 4], jnp.int32)
+    idx, found = lex_searchsorted(hi, lo, qh, ql)
+    np.testing.assert_array_equal(np.asarray(found),
+                                  [True] * 5 + [False, False])
+    np.testing.assert_array_equal(np.asarray(idx[:5]), [0, 1, 2, 3, 4])
+
+
+def test_build_dedup_mean():
+    coords = np.array([[1, 2, 3, 0], [1, 2, 3, 0], [0, 0, 0, 0],
+                       [5, 5, 5, 0]], np.int32)
+    feats = np.array([[2.0], [4.0], [1.0], [7.0]], np.float32)
+    t = make_table(coords, feats, (8, 8, 8))
+    assert int(t.num) == 3
+    c = np.asarray(t.coords[: int(t.num)])
+    f = np.asarray(t.feats[: int(t.num)])
+    # sorted by key: (0,0,0) < (1,2,3) < (5,5,5)
+    np.testing.assert_array_equal(c[:, :3], [[0, 0, 0], [1, 2, 3], [5, 5, 5]])
+    np.testing.assert_allclose(f[:, 0], [1.0, 3.0, 7.0])  # mean of dups
+    # padding rows zeroed / INVALID
+    assert np.all(np.asarray(t.feats[3:]) == 0)
+    assert np.all(np.asarray(t.hi[3:]) == INVALID)
+
+
+def test_out_of_grid_dropped():
+    coords = np.array([[0, 0, 0, 0], [9, 0, 0, 0], [-1, 2, 2, 0]], np.int32)
+    feats = np.ones((3, 2), np.float32)
+    t = make_table(coords, feats, (8, 8, 8))
+    assert int(t.num) == 1
+
+
+def dense_from_table(t):
+    """Scatter table to dense [X, Y, Z, C] (batch 0 only)."""
+    X, Y, Z = t.spatial_size
+    d = np.zeros((X, Y, Z, t.num_channels), np.float32)
+    c = np.asarray(t.coords)
+    f = np.asarray(t.feats)
+    for i in range(int(t.num)):
+        x, y, z, b = c[i]
+        d[x, y, z] += f[i]
+    return d
+
+
+def test_submanifold_conv_vs_dense():
+    rng = np.random.RandomState(0)
+    n, cin, cout = 40, 3, 5
+    coords = np.unique(rng.randint(0, 10, (n, 3)), axis=0)
+    coords = np.c_[coords, np.zeros((coords.shape[0], 1), np.int32)].astype(np.int32)
+    feats = rng.randn(coords.shape[0], cin).astype(np.float32)
+    t = make_table(coords, feats, (10, 10, 10))
+
+    offs = submanifold_offsets((3, 3, 3))
+    nidx = neighbor_indices(t, offs)
+    w = rng.randn(27, cin, cout).astype(np.float32) * 0.1
+    out = submanifold_conv(t.feats, nidx, jnp.array(w), t.row_valid)
+
+    # dense oracle: full 3^3 conv then mask to active sites
+    dense = dense_from_table(t)
+    pad = np.pad(dense, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    got = np.asarray(out)
+    c = np.asarray(t.coords)
+    for i in range(int(t.num)):
+        x, y, z, _ = c[i]
+        acc = np.zeros(cout, np.float32)
+        for k, (dx, dy, dz) in enumerate(offs):
+            acc += pad[x + dx + 1, y + dy + 1, z + dz + 1] @ w[k]
+        np.testing.assert_allclose(got[i], acc, atol=1e-4)
+    assert np.all(got[int(t.num):] == 0)
+
+
+def test_submanifold_preserves_sites():
+    """Submanifold conv must not activate new sites: inactive neighbors
+    contribute zero but outputs exist only at input sites (the defining
+    property, SubmanifoldConvolutionRules.h:26-57)."""
+    coords = np.array([[2, 2, 2, 0], [2, 2, 3, 0]], np.int32)
+    feats = np.ones((2, 2), np.float32)
+    t = make_table(coords, feats, (6, 6, 6))
+    offs = submanifold_offsets((3, 3, 3))
+    nidx = neighbor_indices(t, offs)
+    w = np.zeros((27, 2, 2), np.float32)
+    w[13] = np.eye(2)  # center offset only
+    out = np.asarray(submanifold_conv(t.feats, nidx, jnp.array(w), t.row_valid))
+    np.testing.assert_allclose(out[: int(t.num)], np.ones((2, 2)), atol=1e-6)
+
+
+def test_downsample_table_k2s2():
+    coords = np.array([[0, 0, 0, 0], [1, 1, 1, 0], [2, 2, 2, 0],
+                       [7, 7, 7, 0]], np.int32)
+    feats = np.ones((4, 1), np.float32)
+    t = make_table(coords, feats, (8, 8, 8))
+    dt = downsample_table(t, (2, 2, 2), (2, 2, 2), capacity=8)
+    assert dt.spatial_size == (4, 4, 4)
+    assert int(dt.num) == 3  # (0,0,0) x2 -> 1 site, (1,1,1), (3,3,3)
+    c = np.asarray(dt.coords[: int(dt.num)])[:, :3]
+    assert {tuple(r) for r in c.tolist()} == {(0, 0, 0), (1, 1, 1), (3, 3, 3)}
+
+
+def test_downsample_table_k4s2_overlap():
+    """kernel 4, stride 2: receptive fields overlap, one input activates
+    up to 2 outputs per axis (ConvolutionRules.h:11-60 semantics)."""
+    coords = np.array([[3, 0, 0, 0]], np.int32)
+    feats = np.ones((1, 1), np.float32)
+    t = make_table(coords, feats, (8, 4, 4))
+    dt = downsample_table(t, (4, 2, 2), (2, 2, 2), capacity=8)
+    c = {tuple(r) for r in
+         np.asarray(dt.coords[: int(dt.num)])[:, :3].tolist()}
+    # x=3 inside windows of outputs ox where 2*ox <= 3 < 2*ox+4 -> ox in {0,1}
+    assert c == {(0, 0, 0), (1, 0, 0)}
+
+
+def test_strided_conv_vs_dense():
+    rng = np.random.RandomState(1)
+    coords = np.unique(rng.randint(0, 8, (30, 3)), axis=0)
+    coords = np.c_[coords, np.zeros((coords.shape[0], 1))].astype(np.int32)
+    feats = rng.randn(coords.shape[0], 2).astype(np.float32)
+    t = make_table(coords, feats, (8, 8, 8))
+    dt = downsample_table(t, (2, 2, 2), (2, 2, 2), capacity=40)
+    rb = conv_rulebook(dt, t, (2, 2, 2), (2, 2, 2))
+    w = rng.randn(8, 2, 3).astype(np.float32) * 0.2
+    out = np.asarray(strided_conv(t.feats, rb, jnp.array(w), dt.row_valid))
+
+    dense = dense_from_table(t)
+    c = np.asarray(dt.coords)
+    for i in range(int(dt.num)):
+        ox, oy, oz, _ = c[i]
+        acc = np.zeros(3, np.float32)
+        k = 0
+        for kx in range(2):
+            for ky in range(2):
+                for kz in range(2):
+                    acc += dense[ox * 2 + kx, oy * 2 + ky, oz * 2 + kz] @ w[k]
+                    k += 1
+        np.testing.assert_allclose(out[i], acc, atol=1e-4)
+
+
+def test_deconv_inverts_sites():
+    """Deconv scatters coarse features back onto the cached fine table:
+    with kernel=stride=2 and identity weights at every offset, each fine
+    site receives exactly its parent's features."""
+    rng = np.random.RandomState(2)
+    coords = np.unique(rng.randint(0, 8, (20, 3)), axis=0)
+    coords = np.c_[coords, np.zeros((coords.shape[0], 1))].astype(np.int32)
+    feats = rng.randn(coords.shape[0], 2).astype(np.float32)
+    fine = make_table(coords, feats, (8, 8, 8))
+    coarse = downsample_table(fine, (2, 2, 2), (2, 2, 2), capacity=30)
+    cf = rng.randn(coarse.capacity, 2).astype(np.float32)
+    cf[int(coarse.num):] = 0
+    rb = deconv_rulebook(fine, coarse, (2, 2, 2), (2, 2, 2))
+    w = np.stack([np.eye(2, dtype=np.float32)] * 8)
+    out = np.asarray(deconv(jnp.array(cf), rb, jnp.array(w), fine.row_valid))
+
+    cc = np.asarray(coarse.coords)
+    parent = {tuple(cc[i][:3]): cf[i] for i in range(int(coarse.num))}
+    fc = np.asarray(fine.coords)
+    for i in range(int(fine.num)):
+        key = (fc[i][0] // 2, fc[i][1] // 2, fc[i][2] // 2)
+        np.testing.assert_allclose(out[i], parent[key], atol=1e-5)
+
+
+def test_batch_separation():
+    """Same xyz in different batch elements stay distinct sites."""
+    coords = np.array([[1, 1, 1, 0], [1, 1, 1, 1]], np.int32)
+    feats = np.array([[1.0], [2.0]], np.float32)
+    t = build_sparse_tensor(jnp.array(coords), jnp.array(feats),
+                            jnp.ones(2, bool), (4, 4, 4), 2, 6)
+    assert int(t.num) == 2
