@@ -1,0 +1,116 @@
+"""Synthetic building-scene generator (test + benchmark fixture).
+
+Emulates what the SUNCG pipeline produces after preprocessing
+(/root/reference/data3d/suncg_utils/suncg_dataset.py:72-189): a point
+cloud with xyz+color+normal features scaled by voxel_scale and shifted to
+the positive octant, plus yx_zb ground-truth boxes with labels. Geometry:
+a rectangular room of thin walls (9.5 cm), a floor and ceiling slab, and
+window/door cutout boxes on the walls — the same box statistics (thin,
+axis-dominant, yaw in (-pi/2, pi/2]) that drive the reference's
+criterion-2 / thickness-augmentation machinery.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _box_surface_points(rng, center, size, yaw, n):
+    """Sample n points on the two large faces of a thin box."""
+    local = rng.uniform(-0.5, 0.5, (n, 3)) * size
+    face = rng.randint(0, 2, n) * 2 - 1
+    # thin axis = argmin(size): snap to the faces
+    thin = int(np.argmin(size))
+    local[:, thin] = face * size[thin] / 2
+    c, s = np.cos(yaw), np.sin(yaw)
+    world = np.empty_like(local)
+    world[:, 0] = c * local[:, 0] + s * local[:, 1] + center[0]
+    world[:, 1] = -s * local[:, 0] + c * local[:, 1] + center[1]
+    world[:, 2] = local[:, 2] + center[2]
+    return world
+
+
+def synthetic_building(seed: int = 0, num_points: int = 60_000,
+                       room: float = 8.0, wall_h: float = 2.7,
+                       classes=("background", "wall", "door", "window",
+                                "ceiling", "floor"),
+                       voxel_scale: int = 50, yaw: float = 0.0):
+    """Returns dict:
+      points: (N, 3) float32 — xyz already x voxel_scale, min-shifted to >0;
+      feats: (N, 9) float32 — xyz(m) + rgb + normal;
+      gt_boxes: (M, 7) float32 yx_zb (meters);
+      gt_labels: (M,) int32.
+    """
+    rng = np.random.RandomState(seed)
+    t = 0.095  # 9.5 cm walls — the thin boxes the reference tunes for
+    half = room / 2
+
+    boxes_std = []  # standard: [xc,yc,zc,xs,ys,zs,yaw]
+    labels = []
+    name2lab = {c: i for i, c in enumerate(classes)}
+
+    def rot_xy(x, y):
+        c, s = np.cos(yaw), np.sin(yaw)
+        return c * x + s * y, -s * x + c * y
+
+    # 4 walls around the perimeter
+    wall_specs = [
+        (0.0, -half, room, 0.0), (0.0, half, room, 0.0),
+        (-half, 0.0, room, np.pi / 2), (half, 0.0, room, np.pi / 2)]
+    for wx, wy, length, wyaw in wall_specs:
+        cx, cy = rot_xy(wx, wy)
+        boxes_std.append([cx, cy, wall_h / 2, length, t, wall_h,
+                          (wyaw + yaw) % np.pi])
+        labels.append(name2lab["wall"])
+
+    if "floor" in name2lab:
+        boxes_std.append([0, 0, 0.06, room, room, 0.12, yaw % np.pi])
+        labels.append(name2lab["floor"])
+    if "ceiling" in name2lab:
+        boxes_std.append([0, 0, wall_h - 0.06, room, room, 0.12,
+                          yaw % np.pi])
+        labels.append(name2lab["ceiling"])
+    if "door" in name2lab:
+        dx, dy = rot_xy(-half / 2, -half)
+        boxes_std.append([dx, dy, 1.0, 0.9, t * 1.5, 2.0, yaw % np.pi])
+        labels.append(name2lab["door"])
+    if "window" in name2lab:
+        wx_, wy_ = rot_xy(half / 2, -half)
+        boxes_std.append([wx_, wy_, 1.5, 1.2, t * 1.5, 1.0, yaw % np.pi])
+        labels.append(name2lab["window"])
+
+    boxes_std = np.array(boxes_std, np.float32)
+    labels = np.array(labels, np.int32)
+
+    # points on surfaces, proportional to box area
+    sizes = boxes_std[:, 3:6]
+    areas = np.max(sizes, 1) * np.median(sizes, 1)
+    weights = areas / areas.sum()
+    counts = (weights * num_points).astype(int)
+    pts = []
+    for i, b in enumerate(boxes_std):
+        pts.append(_box_surface_points(
+            rng, b[:3], b[3:6], b[6], max(counts[i], 10)))
+    pts = np.concatenate(pts, 0).astype(np.float32)
+    pts += rng.normal(0, 0.004, pts.shape).astype(np.float32)  # sensor noise
+
+    # features: xyz (meters) + color + normals (random unit)
+    color = rng.uniform(0, 1, (pts.shape[0], 3)).astype(np.float32)
+    nrm = rng.normal(size=(pts.shape[0], 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True) + 1e-9
+    feats = np.concatenate([pts, color, nrm], axis=1)
+
+    # scale + shift to positive octant (suncg_dataset.py:115-137)
+    scaled = pts * voxel_scale
+    shift = scaled.min(0)
+    scaled = scaled - shift
+
+    # gt to yx_zb with the same shift (boxes are in meters: shift/scale)
+    from detection_3d_tpu.ops.geometry import standard_to_yx_zb
+    import jax.numpy as jnp
+    boxes_shifted = boxes_std.copy()
+    boxes_shifted[:, :3] -= shift / voxel_scale
+    gt_yx_zb = np.asarray(standard_to_yx_zb(jnp.asarray(boxes_shifted)))
+
+    return {"points": scaled.astype(np.float32), "feats": feats,
+            "gt_boxes": gt_yx_zb.astype(np.float32), "gt_labels": labels}

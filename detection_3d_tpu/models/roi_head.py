@@ -1,0 +1,251 @@
+"""ROI box head: level mapping, rotated pooling, MLP head, loss, post-proc.
+
+Parity targets:
+  * LevelMapper_3d (poolers_3d.py:57-69): size = sqrt(max(y_size, x_size)),
+    rate = size/canonical, level = argmin |spatial_scale - rate|;
+  * FPN2MLPFeatureExtractor (roi_box_feature_extractors.py:46-117):
+    proposals (meters) x voxel_scale -> pixels, pooled (R,C,6,8,4), conv3d
+    kernel [1,1,4] C->512 + BN + ReLU, flatten, fc6+fc7 (512);
+  * FPNPredictor (roi_box_predictors.py:33-55): linear cls + 7*C box reg
+    (init std 0.01 / 0.001, zero bias);
+  * loss (box_head_3d/loss.py:22-237): matcher FG=BG=0.5 without
+    low-quality rescue, 512-sample 25% positive, CE + per-class smooth-L1
+    (beta=1/5) over positives / total sampled;
+  * post-processor (box_head_3d/inference.py:99-149): softmax, per-class
+    score threshold + rotated NMS, top detections_per_img by score.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from detection_3d_tpu.config.defaults import Config
+from detection_3d_tpu.models.matcher import match_boxes, balanced_sample, BETWEEN
+from detection_3d_tpu.models.losses import smooth_l1_box_loss, cross_entropy
+from detection_3d_tpu.models.structures import Boxes3D
+from detection_3d_tpu.ops.box_coder import BoxCoder3D
+from detection_3d_tpu.ops.geometry import yx_zb_to_standard
+from detection_3d_tpu.ops.rotated_iou import boxes_iou_3d
+from detection_3d_tpu.ops.nms import nms_from_iou
+from detection_3d_tpu.ops.norm import batch_norm_leaky_relu
+from detection_3d_tpu.ops.roi_align import roi_align_rotated_sparse
+from detection_3d_tpu.ops.sparse import SparseTensor
+
+
+def map_levels(cfg: Config, boxes):
+    """(R,) level index per roi (LevelMapper_3d, poolers_3d.py:57-69)."""
+    scales = jnp.asarray(cfg.roi_spatial_scales())
+    size = jnp.sqrt(jnp.maximum(boxes[:, 3], boxes[:, 4]))
+    rate = size / cfg.roi.canonical_size
+    dif = jnp.abs(scales[None, :] - rate[:, None])
+    return jnp.argmin(dif, axis=1)
+
+
+def pool_rois(cfg: Config, roi_maps: Sequence[SparseTensor],
+              proposals: Boxes3D):
+    """(R, os0, os1, os2, C) pooled features across FPN levels.
+
+    Proposals are yx_zb in meters; each level pools in its own voxel units
+    (x voxel_scale x spatial_scale), then per-roi level assignment selects
+    which level's result survives (poolers_3d.py:126-168).
+    """
+    os = cfg.roi.pooler_resolution
+    sr = cfg.roi.pooler_sampling_ratio
+    levels = map_levels(cfg, proposals.boxes)
+    std = yx_zb_to_standard(proposals.boxes)  # [xc,yc,zc,xs,ys,zs,yaw]
+    vs = float(cfg.sparse3d.voxel_scale)
+
+    pooled = None
+    for li, (table, scale) in enumerate(
+            zip(roi_maps, cfg.roi_spatial_scales())):
+        factor = vs * scale
+        rois = jnp.concatenate(
+            [std[:, :6] * factor, std[:, 6:7]], axis=-1)
+        valid_l = proposals.valid & (levels == li)
+        p = roi_align_rotated_sparse(table, rois, valid_l, os, sr)
+        pooled = p if pooled is None else pooled + p
+    return pooled
+
+
+class ROIBoxFeatureExtractor(nn.Module):
+    """conv3d [1,1,z] + BN + ReLU -> fc6 -> fc7 (both 512, ReLU)."""
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, pooled, roi_valid):
+        cfg = self.cfg
+        r = pooled.shape[0]
+        os0, os1, os2, c = pooled.shape[1:]
+        rep = cfg.roi.mlp_head_dim
+
+        # conv3d kernel [1,1,os2]: fold z into channels -> one matmul
+        w = self.param("conv3d_w", nn.initializers.he_normal(),
+                       (os2 * c, rep))
+        b = self.param("conv3d_b", nn.initializers.zeros, (rep,))
+        h = pooled.reshape(r, os0, os1, os2 * c) @ w + b  # (R,os0,os1,rep)
+
+        # BatchNorm3d over (R, os0, os1) per channel + ReLU
+        scale = self.param("bn_scale", nn.initializers.ones, (rep,))
+        bias = self.param("bn_bias", nn.initializers.zeros, (rep,))
+        flat = h.reshape(r * os0 * os1, rep)
+        vmask = jnp.repeat(roi_valid, os0 * os1)
+        flat = batch_norm_leaky_relu(flat, vmask, scale, bias, leakiness=0.0)
+        h = flat.reshape(r, os0 * os1 * rep)
+
+        w6 = self.param("fc6_w", nn.initializers.kaiming_uniform(),
+                        (os0 * os1 * rep, rep))
+        b6 = self.param("fc6_b", nn.initializers.zeros, (rep,))
+        w7 = self.param("fc7_w", nn.initializers.kaiming_uniform(),
+                        (rep, rep))
+        b7 = self.param("fc7_b", nn.initializers.zeros, (rep,))
+        h = jax.nn.relu(h @ w6 + b6)
+        h = jax.nn.relu(h @ w7 + b7)
+        return jnp.where(roi_valid[:, None], h, 0.0)
+
+
+class ROIPredictor(nn.Module):
+    """FPNPredictor: cls + per-class box regression."""
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, x):
+        nc = self.cfg.num_classes + len(self.cfg.separate_classes)
+        wc = self.param("cls_w",
+                        lambda k, s: jax.random.normal(k, s) * 0.01,
+                        (x.shape[-1], nc))
+        bc = self.param("cls_b", nn.initializers.zeros, (nc,))
+        wb = self.param("box_w",
+                        lambda k, s: jax.random.normal(k, s) * 0.001,
+                        (x.shape[-1], nc * 7))
+        bb = self.param("box_b", nn.initializers.zeros, (nc * 7,))
+        return x @ wc + bc, x @ wb + bb
+
+
+def roi_targets(cfg: Config, proposals: Boxes3D, gt: Boxes3D, gt_labels):
+    """Per-proposal class label (0 bg, -1 ignore) + regression target
+    (box_head_3d/loss.py:47-118)."""
+    aug = {"target_Y": cfg.roi.label_aug_thickness_y_tar_anc[0],
+           "anchor_Y": cfg.roi.label_aug_thickness_y_tar_anc[1],
+           "target_Z": cfg.roi.label_aug_thickness_z_tar_anc[0],
+           "anchor_Z": cfg.roi.label_aug_thickness_z_tar_anc[1]}
+    quality = boxes_iou_3d(gt.boxes, proposals.boxes, aug_thickness=aug,
+                           criterion=-1)
+    matches = match_boxes(quality, gt.valid, proposals.valid,
+                          high=cfg.roi.fg_iou_threshold,
+                          low=cfg.roi.bg_iou_threshold,
+                          allow_low_quality=False)
+    safe = jnp.clip(matches, 0)
+    labels = gt_labels[safe].astype(jnp.int32)
+    labels = jnp.where(matches == -1, 0, labels)
+    labels = jnp.where(matches == BETWEEN, -1, labels)
+    labels = jnp.where(proposals.valid, labels, -1)
+
+    coder = BoxCoder3D(weights=cfg.roi.bbox_reg_weights)
+    reg_targets = coder.encode(gt.boxes[safe], proposals.boxes)
+    return labels, reg_targets
+
+
+def subsample_proposals(cfg: Config, rng, proposals: Boxes3D, gt: Boxes3D,
+                        gt_labels):
+    """Balanced 512-sample; returns gathered static-size proposal set with
+    fields labels + regression_targets (loss.py:121-166)."""
+    labels, reg_targets = roi_targets(cfg, proposals, gt, gt_labels)
+    pos_mask, neg_mask = balanced_sample(
+        labels, rng, cfg.roi_batch_size_per_image, cfg.roi.positive_fraction)
+    sampled = pos_mask | neg_mask
+
+    pri = jnp.where(sampled, 1.0, 0.0) + \
+        jax.random.uniform(rng, sampled.shape) * 0.5
+    _, idx = jax.lax.top_k(pri, cfg.roi_batch_size_per_image)
+    out = Boxes3D(proposals.boxes, proposals.valid & sampled,
+                  {"labels": labels, "regression_targets": reg_targets,
+                   "is_gt": proposals.fields.get(
+                       "is_gt", jnp.zeros_like(labels, jnp.float32))})
+    return out.gather(idx)
+
+
+def roi_loss(cfg: Config, sampled: Boxes3D, class_logits, box_regression):
+    """CE + per-class smooth-L1 (loss.py:196-237)."""
+    labels = sampled.fields["labels"]
+    reg_targets = sampled.fields["regression_targets"]
+    valid = sampled.valid & (labels >= 0)
+
+    cls_loss = cross_entropy(class_logits, labels, valid)
+
+    pos = valid & (labels > 0)
+    nc7 = box_regression.shape[-1]
+    reg = box_regression.reshape(-1, nc7 // 7, 7)
+    reg_pos = jnp.take_along_axis(
+        reg, jnp.clip(labels, 0)[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    n_sampled = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    box_l = smooth_l1_box_loss(reg_pos, reg_targets, sampled.boxes, pos,
+                               beta=1.0 / 5,
+                               yaw_loss_mode=cfg.rpn.yaw_loss_mode) / n_sampled
+    return cls_loss, box_l
+
+
+def postprocess(cfg: Config, proposals: Boxes3D, class_logits,
+                box_regression, num_classes: int, detections_cap: int):
+    """Per-class score threshold -> per-class rotated NMS -> global top-K
+    (inference.py:99-149). Static output: (detections_cap,) rows.
+
+    Returns Boxes3D with fields scores, labels.
+    """
+    probs = jax.nn.softmax(class_logits, axis=-1)
+    coder = BoxCoder3D(weights=cfg.roi.bbox_reg_weights)
+    decoded = coder.decode(box_regression, proposals.boxes)  # (R, C*7)
+    r = decoded.shape[0]
+    dec = decoded.reshape(r, num_classes, 7)
+
+    ay, az = cfg.roi.nms_aug_thickness_y_z
+    per_class_boxes = []
+    per_class_scores = []
+    per_class_labels = []
+    per_class_valid = []
+    for j in range(1, num_classes):
+        boxes_j = dec[:, j]
+        scores_j = probs[:, j]
+        valid_j = proposals.valid & (scores_j > cfg.roi.score_thresh)
+        nms_boxes = boxes_j.at[:, 3:5].set(jnp.maximum(boxes_j[:, 3:5], ay))
+        nms_boxes = nms_boxes.at[:, 5].set(jnp.maximum(nms_boxes[:, 5], az))
+        iou = boxes_iou_3d(nms_boxes, nms_boxes, aug_thickness=None,
+                           criterion=-1)
+        # roi_post passes max_proposals=-1 -> cap 500 (boxlist_ops_3d.py:38-39)
+        keep_idx, _ = nms_from_iou(iou, scores_j, valid_j, cfg.roi.nms,
+                                   min(500, r))
+        kept = Boxes3D(boxes_j, valid_j,
+                       {"scores": scores_j}).gather(keep_idx)
+        per_class_boxes.append(kept.boxes)
+        per_class_scores.append(kept.fields["scores"])
+        per_class_labels.append(
+            jnp.full((kept.capacity,), j, jnp.int32))
+        per_class_valid.append(kept.valid)
+
+    boxes = jnp.concatenate(per_class_boxes, 0)
+    scores = jnp.concatenate(per_class_scores, 0)
+    labels = jnp.concatenate(per_class_labels, 0)
+    valid = jnp.concatenate(per_class_valid, 0)
+
+    # global top-K by score over all classes
+    pri = jnp.where(valid, scores, -1.0)
+    top_scores, idx = jax.lax.top_k(pri, min(detections_cap, pri.shape[0]))
+    return Boxes3D(boxes[idx], valid[idx] & (top_scores >= 0),
+                   {"scores": scores[idx], "labels": labels[idx]})
+
+
+class ROIBoxHead(nn.Module):
+    """Feature extractor + predictor for one forward."""
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, roi_maps, proposals: Boxes3D):
+        pooled = pool_rois(self.cfg, roi_maps, proposals)
+        x = ROIBoxFeatureExtractor(self.cfg, name="extractor")(
+            pooled, proposals.valid)
+        return ROIPredictor(self.cfg, name="predictor")(x)

@@ -22,6 +22,8 @@ IoU criteria (nms_gpu.py:552-570 devRotateIoUEval, rbox1=query, rbox2=box):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -161,6 +163,8 @@ def _iou_row(box, qboxes, criterion):
     return jax.vmap(lambda q: rotated_iou_pair(q, box, criterion))(qboxes)
 
 
+@functools.partial(jax.jit, static_argnames=("criterion", "row_block",
+                                             "same_box_fix"))
 def rotated_iou_matrix(boxes, query_boxes, criterion: int = -1,
                        row_block: int = 64, same_box_fix: bool = True):
     """(N, 5) x (K, 5) -> (N, K) rotated IoU, blocked over rows.
@@ -206,6 +210,8 @@ def z_interval_iou(targets_z, anchors_z):
     return overlap / common
 
 
+@functools.partial(jax.jit, static_argnames=("criterion", "only_xy",
+                                             "row_block"))
 def boxes_iou_3d(targets, anchors, aug_thickness=None, criterion: int = -1,
                  only_xy: bool = False, row_block: int = 64):
     """3D IoU of yx_zb boxes: (N_t, 7) x (N_a, 7) -> (N_t, N_a).

@@ -20,6 +20,7 @@ for the duration of a forward pass.
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -78,6 +79,8 @@ class SparseTensor:
         return lex_searchsorted(self.hi, self.lo, qhi, qlo)
 
 
+@functools.partial(jax.jit, static_argnames=("spatial_size", "batch_size",
+                                             "capacity", "reduce"))
 def build_sparse_tensor(coords, feats, valid, spatial_size, batch_size,
                         capacity: int, reduce: str = "mean"):
     """Deduplicating input layer: raw voxel coords -> SparseTensor.
@@ -146,9 +149,10 @@ def submanifold_offsets(kernel: Tuple[int, int, int]):
         for dy in range(-(ky // 2), ky // 2 + 1):
             for dz in range(-(kz // 2), kz // 2 + 1):
                 offs.append((dx, dy, dz))
-    return offs
+    return tuple(offs)
 
 
+@functools.partial(jax.jit, static_argnames=("offsets",))
 def neighbor_indices(table: SparseTensor, offsets):
     """Per-offset gather indices into the table (the 'rulebook').
 
@@ -169,6 +173,7 @@ def neighbor_indices(table: SparseTensor, offsets):
     return jnp.stack(idx_list, axis=0)
 
 
+@functools.partial(jax.jit, static_argnames=("kernel", "stride", "capacity"))
 def downsample_table(table: SparseTensor, kernel, stride, capacity: int):
     """Build the strided-conv output table.
 
@@ -215,6 +220,7 @@ def downsample_table(table: SparseTensor, kernel, stride, capacity: int):
                                table.batch_size, capacity, reduce="sum")
 
 
+@functools.partial(jax.jit, static_argnames=("kernel", "stride"))
 def conv_rulebook(out_table: SparseTensor, in_table: SparseTensor,
                   kernel, stride):
     """Gather indices for a strided conv: for each output site o and kernel

@@ -18,6 +18,8 @@ order as the index-building loops.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -27,6 +29,7 @@ def _padded(feats):
     return jnp.concatenate([feats, jnp.zeros_like(feats[:1])], axis=0)
 
 
+@jax.jit
 def gather_conv(feats, neighbor_idx, weights, out_valid,
                 accum_dtype=jnp.float32):
     """Shared core: sum_k gather(feats, idx[k]) @ W[k].
@@ -71,6 +74,7 @@ def deconv(in_feats, rulebook_idx, weights, out_valid):
     return gather_conv(in_feats, rulebook_idx, weights, out_valid)
 
 
+@functools.partial(jax.jit, static_argnames=("kernel", "stride"))
 def deconv_rulebook(fine_table, coarse_table, kernel, stride):
     """(K, V_fine) indices into the coarse table for ``deconv``.
 

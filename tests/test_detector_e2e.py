@@ -1,0 +1,123 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from detection_3d_tpu.config import Config, Sparse3DConfig, CapacityConfig
+from detection_3d_tpu.config.defaults import RPNConfig, ROIConfig
+from detection_3d_tpu.data.synthetic import synthetic_building
+from detection_3d_tpu.models.detector import SparseRCNN, voxelize_points
+from detection_3d_tpu.models.structures import Boxes3D
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        classes=("background", "wall", "door", "window"),
+        sparse3d=Sparse3DConfig(
+            voxel_scale=20,
+            voxel_full_scale=(256, 256, 64),
+            nplanes_front=(8, 16, 16, 32, 32),
+            kernels=((2, 2, 2),) * 4,
+            strides=((2, 2, 2),) * 4,
+            nplane_map=16,
+        ),
+        rpn=RPNConfig(
+            rpn_scales_from_top=(2, 1),
+            rpn_3d_2d_selector=(0, 1, 2),
+            anchor_sizes_3d=((0.2, 0.5, 3), (0.4, 1.5, 3)),
+            use_yaws=(1, 1),
+            fpn_pre_nms_top_n_train=256, fpn_pre_nms_top_n_test=256,
+            fpn_post_nms_top_n_train=64, fpn_post_nms_top_n_test=64,
+            batch_size_per_image=64,
+        ),
+        roi=ROIConfig(
+            pooler_scales_from_top=(2, 1),
+            batch_size_per_image=64,
+            detections_per_img=32,
+            mlp_head_dim=32,
+            pooler_resolution=(6, 8, 4),
+        ),
+        backbone_out_channels=16,
+        caps=CapacityConfig(max_points=8192,
+                            voxel_caps=(4096, 2048, 1024, 512, 256),
+                            max_gt=16),
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return synthetic_building(seed=0, num_points=6000, room=6.0,
+                              classes=("background", "wall", "door",
+                                       "window"),
+                              voxel_scale=20)
+
+
+def prep(cfg, scene):
+    n = cfg.caps.max_points
+    pts = np.zeros((n, 3), np.float32)
+    fts = np.zeros((n, 9), np.float32)
+    m = min(scene["points"].shape[0], n)
+    pts[:m] = scene["points"][:m]
+    fts[:m] = scene["feats"][:m]
+    valid = np.arange(n) < m
+
+    g = cfg.caps.max_gt
+    gtb = np.zeros((g, 7), np.float32)
+    gtb[:, 3:6] = 0.1
+    gtl = np.zeros((g,), np.int32)
+    mg = min(scene["gt_boxes"].shape[0], g)
+    gtb[:mg] = scene["gt_boxes"][:mg]
+    gtl[:mg] = scene["gt_labels"][:mg]
+    gt = Boxes3D(jnp.asarray(gtb), jnp.arange(g) < mg)
+    table = voxelize_points(cfg, jnp.asarray(pts), jnp.asarray(fts),
+                            jnp.asarray(valid))
+    return table, gt, jnp.asarray(gtl)
+
+
+def test_train_and_eval_forward(scene):
+    cfg = tiny_cfg()
+    table, gt, gt_labels = prep(cfg, scene)
+    model = SparseRCNN(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, table, gt, gt_labels, is_train=True, rng=rng)
+
+    losses, _ = model.apply(params, table, gt, gt_labels, is_train=True,
+                            rng=rng)
+    assert set(losses) == {"loss_objectness", "loss_rpn_box_reg",
+                           "loss_classifier_roi", "loss_box_reg_roi"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+        assert float(v) >= 0, k
+
+    det = model.apply(params, table, is_train=False)
+    assert det.boxes.shape[-1] == 7
+    assert det.capacity >= cfg.roi_detections_per_img
+    s = np.asarray(det.fields["scores"])
+    v = np.asarray(det.valid)
+    assert np.all(np.isfinite(s[v])) if v.any() else True
+
+
+def test_train_grad_step_decreases_loss(scene):
+    cfg = tiny_cfg()
+    table, gt, gt_labels = prep(cfg, scene)
+    model = SparseRCNN(cfg)
+    rng = jax.random.PRNGKey(1)
+    params = model.init(rng, table, gt, gt_labels, is_train=True, rng=rng)
+
+    def total_loss(p, key):
+        losses, _ = model.apply(p, table, gt, gt_labels, is_train=True,
+                                rng=key)
+        return sum(losses.values())
+
+    key = jax.random.PRNGKey(2)
+    l0, g = jax.value_and_grad(total_loss)(params, key)
+    assert np.isfinite(float(l0))
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
+    # SGD steps with the same rng must reduce the loss
+    lr = 1e-2
+    p2 = jax.tree_util.tree_map(lambda p, gg: p - lr * gg, params, g)
+    l1 = total_loss(p2, key)
+    assert float(l1) < float(l0)
