@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark: per-building end-to-end inference latency on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's 4.75 s per building on a single GPU
+(/root/reference/README.md:19; see BASELINE.md). vs_baseline is the
+speedup factor (baseline_seconds / measured_seconds, >1 = faster).
+
+The measured pipeline is the full jitted forward: voxelize -> sparse FPN
+backbone -> RPN (decode+NMS) -> ROI head (rotated ROI align + NMS) on a
+synthetic building (~60k surface points, 6-class config).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from detection_3d_tpu.config import Config, Sparse3DConfig, CapacityConfig
+    from detection_3d_tpu.config.defaults import RPNConfig, ROIConfig
+    from detection_3d_tpu.data.synthetic import synthetic_building
+    from detection_3d_tpu.engine.inference import make_predict_fn
+    from detection_3d_tpu.engine.trainer import pad_scene
+    from detection_3d_tpu.models.detector import SparseRCNN, voxelize_points
+    from detection_3d_tpu.models.structures import Boxes3D
+
+    # 6-class config at reduced-but-realistic capacities for one building
+    cfg = Config(
+        classes=("background", "wall", "door", "window", "ceiling", "floor"),
+        sparse3d=Sparse3DConfig(
+            voxel_scale=50,
+            voxel_full_scale=(1024, 1024, 256),
+            nplanes_front=(32, 64, 64, 128, 128, 128, 256),
+            kernels=((2, 2, 2),) * 6,
+            strides=((2, 2, 2),) * 6,
+        ),
+        rpn=RPNConfig(
+            rpn_scales_from_top=(4, 3, 2),
+            rpn_3d_2d_selector=(1, 3, 4, 5),
+            anchor_sizes_3d=((0.4, 1.5, 1.5), (0.2, 0.5, 3), (0.4, 1.5, 3),
+                             (0.6, 2.5, 3)),
+            use_yaws=(1, 1, 1, 1),
+        ),
+        caps=CapacityConfig(
+            max_points=120_000,
+            voxel_caps=(65536, 32768, 16384, 8192, 4096, 2048, 1024),
+            max_gt=64),
+    )
+
+    scene = synthetic_building(seed=0, num_points=100_000, room=10.0,
+                               voxel_scale=cfg.sparse3d.voxel_scale)
+
+    model = SparseRCNN(cfg)
+    batch = {k: jnp.asarray(v) for k, v in pad_scene(cfg, scene).items()}
+    table = voxelize_points(cfg, batch["points"], batch["feats"],
+                            batch["points_valid"])
+    rng = jax.random.PRNGKey(0)
+    gt = Boxes3D(batch["gt_boxes"], batch["gt_valid"])
+    params = model.init(rng, table, gt, batch["gt_labels"],
+                        is_train=True, rng=rng)
+
+    predict = make_predict_fn(cfg, model)
+    # compile
+    out = predict(params, batch)
+    jax.block_until_ready(out)
+    # measure
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        out = predict(params, batch)
+        jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+
+    baseline = 4.75
+    print(json.dumps({
+        "metric": "inference_sec_per_building",
+        "value": round(dt, 4),
+        "unit": "s",
+        "vs_baseline": round(baseline / dt, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

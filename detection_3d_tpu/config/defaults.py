@@ -190,10 +190,19 @@ class Config:
     def num_classes(self) -> int:
         return len(self.classes)
 
+    def dataset_metas(self):
+        from detection_3d_tpu.data.dataset_metas import DatasetMetas
+        return DatasetMetas(self.classes)
+
+    def ordered_class_names(self):
+        """Class names by label id — CANONICAL SUNCG ordering
+        (suncg_metas.py:2-30), not config order."""
+        return self.dataset_metas().ordered_classes()
+
     def separate_classes_id(self):
         """Class-name groups -> label-id groups
-        (train_net_sparse3d.py:238-244)."""
-        label_of = {c: i for i, c in enumerate(self.classes)}
+        (train_net_sparse3d.py:238-244), using canonical label ids."""
+        label_of = self.dataset_metas().class_2_label
         return tuple(tuple(label_of[c] for c in grp)
                      for grp in self.separate_classes)
 
@@ -231,6 +240,16 @@ class Config:
     @property
     def roi_detections_per_img(self):
         return self._sep_rescale(self.roi.detections_per_img)
+
+    def validate(self):
+        """Config-consistency asserts (intact_anchor,
+        train_net_sparse3d.py:263-264)."""
+        assert len(self.rpn.anchor_sizes_3d) == \
+            len(self.rpn.rpn_3d_2d_selector) == len(self.rpn.use_yaws), (
+                "one anchor size / use_yaws entry per SELECTED rpn map")
+        assert len(self.rpn.yaws) == len(self.rpn.ratios)
+        assert self.sparse3d.num_scales == len(self.sparse3d.strides) + 1
+        return self
 
     def anchor_strides(self):
         """Per-selected-level anchor stride (intact_anchor,

@@ -47,7 +47,8 @@ def synthetic_building(seed: int = 0, num_points: int = 60_000,
 
     boxes_std = []  # standard: [xc,yc,zc,xs,ys,zs,yaw]
     labels = []
-    name2lab = {c: i for i, c in enumerate(classes)}
+    from detection_3d_tpu.data.dataset_metas import DatasetMetas
+    name2lab = DatasetMetas(classes).class_2_label
 
     def rot_xy(x, y):
         c, s = np.cos(yaw), np.sin(yaw)

@@ -1,0 +1,78 @@
+"""Inference engine: jitted per-building forward + evaluation.
+
+Parity with the reference inference loop
+(/root/reference/maskrcnn_benchmark/engine/inference_3d.py:16-144):
+eval-mode forward per building, collect detections on host, run the
+VOC-style evaluator, report total/per-building time. The whole pipeline
+(voxelize -> backbone -> heads -> NMS) is ONE jitted function — the
+reference's 4.75 s/building includes three host<->device round-trips that
+this design eliminates.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detection_3d_tpu.config.defaults import Config
+from detection_3d_tpu.engine.trainer import pad_scene
+from detection_3d_tpu.evaluation.detection_eval import evaluate_detections
+from detection_3d_tpu.models.detector import SparseRCNN, voxelize_points
+from detection_3d_tpu.models.structures import Boxes3D
+
+
+def make_predict_fn(cfg: Config, model: Optional[SparseRCNN] = None):
+    model = model or SparseRCNN(cfg)
+
+    @jax.jit
+    def predict(params, batch):
+        table = voxelize_points(cfg, batch["points"], batch["feats"],
+                                batch["points_valid"])
+        det = model.apply(params, table, is_train=False)
+        return det.boxes, det.valid, det.fields["scores"], \
+            det.fields["labels"]
+
+    return predict
+
+
+def run_inference(cfg: Config, params, scenes: Iterable[Dict],
+                  logger=None, evaluate: bool = True):
+    """Returns (predictions, eval_result_or_None, seconds_per_building)."""
+    predict = make_predict_fn(cfg)
+    scenes = list(scenes)
+    preds = []
+    gts = []
+    total_t = 0.0
+    for i, scene in enumerate(scenes):
+        batch = {k: jnp.asarray(v) for k, v in pad_scene(cfg, scene).items()}
+        t0 = time.time()
+        boxes, valid, scores, labels = predict(params, batch)
+        jax.block_until_ready(boxes)
+        dt = time.time() - t0
+        if i > 0:  # skip compile iteration in timing
+            total_t += dt
+        v = np.asarray(valid)
+        preds.append({"boxes": np.asarray(boxes)[v],
+                      "scores": np.asarray(scores)[v],
+                      "labels": np.asarray(labels)[v]})
+        gts.append({"boxes": scene["gt_boxes"],
+                    "labels": scene["gt_labels"]})
+
+    sec_per_building = total_t / max(len(scenes) - 1, 1)
+    result = None
+    if evaluate:
+        aug = {"target_Y": cfg.test.eval_aug_thickness_y_tar_anc[0],
+               "anchor_Y": cfg.test.eval_aug_thickness_y_tar_anc[1],
+               "target_Z": cfg.test.eval_aug_thickness_z_tar_anc[0],
+               "anchor_Z": cfg.test.eval_aug_thickness_z_tar_anc[1]}
+        result = evaluate_detections(
+            preds, gts, cfg.num_classes, cfg.test.iou_threshold,
+            eval_aug_thickness=aug, class_names=cfg.ordered_class_names())
+        if logger:
+            logger.info("\n%s", result.summary())
+            logger.info("sec/building: %.3f", sec_per_building)
+    return preds, result, sec_per_building

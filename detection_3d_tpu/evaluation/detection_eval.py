@@ -1,0 +1,157 @@
+"""Detection evaluation: VOC-2007 11-point AP + AIoU + diagnostics.
+
+Parity with the reference evaluator
+(/root/reference/data3d/evaluation/suncg/suncg_eval.py):
+  * per (example, class): IoU3D with eval thickness augmentation,
+    criterion=-1 (suncg_eval.py:806-812); per-pred best gt (argmax over
+    gt), below-threshold -> unmatched; preds sorted by score, first match
+    per gt = TP, rest FP (suncg_eval.py:834-845);
+  * AP = VOC-07 11-point (use_07_metric=True in do_suncg_evaluation,
+    suncg_eval.py:919-946); class 0 slot reports the foreground mean;
+  * AIoU per class = mean IoU of "successful" detections: for each gt
+    with matches, its highest-score pred, kept when score >= 0.5 and
+    iou > thresh (parse_pred_for_each_gt, suncg_eval.py:383-500);
+  * missed / multi-pred gt diagnostics.
+
+(The reference also swaps the ceiling/floor *names* in reports,
+suncg_eval.py:29-35 — a display quirk we do not replicate.)
+
+Host-side numpy orchestration; the IoU matrices come from the jitted
+on-device kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from detection_3d_tpu.ops.rotated_iou import boxes_iou_3d
+
+
+def voc_ap_07(prec, rec):
+    """VOC-2007 11-point AP."""
+    ap = 0.0
+    for t in np.arange(0.0, 1.1, 0.1):
+        mask = rec >= t
+        p = np.max(np.nan_to_num(prec)[mask]) if mask.sum() else 0.0
+        ap += p / 11
+    return ap
+
+
+@dataclasses.dataclass
+class DetectionEvalResult:
+    ap: np.ndarray            # (num_classes,) — slot 0 = mean over fg
+    aiou: np.ndarray          # (num_classes,) — slot 0 = mean over fg
+    n_gt: np.ndarray          # (num_classes,) gt counts
+    missed_rate: np.ndarray   # per-class missed-gt fraction
+    multi_rate: np.ndarray    # per-class multi-pred-gt fraction
+    class_names: Sequence[str]
+
+    def summary(self) -> str:
+        lines = ["class      AP      AIoU    #gt   missed  multi"]
+        for i, n in enumerate(self.class_names):
+            name = "mean" if i == 0 else n
+            lines.append(
+                f"{name:<10s} {self.ap[i]:.4f}  {self.aiou[i]:.4f}  "
+                f"{int(self.n_gt[i]):>4d}  {self.missed_rate[i]:.3f}  "
+                f"{self.multi_rate[i]:.3f}")
+        return "\n".join(lines)
+
+
+def evaluate_detections(predictions: List[Dict], groundtruths: List[Dict],
+                        num_classes: int, iou_thresh: float,
+                        eval_aug_thickness: Optional[Dict] = None,
+                        class_names: Optional[Sequence[str]] = None,
+                        score_thres: float = 0.5) -> DetectionEvalResult:
+    """Args:
+      predictions: per example {boxes (N,7) yx_zb, scores (N,), labels (N,)}
+        (numpy, already masked to valid rows);
+      groundtruths: per example {boxes (M,7), labels (M,)};
+      num_classes: including background;
+      iou_thresh: TP threshold;
+      eval_aug_thickness: dict target_Y/target_Z/anchor_Y/anchor_Z.
+    """
+    n_pos = np.zeros(num_classes, np.int64)
+    score_acc = defaultdict(list)
+    match_acc = defaultdict(list)
+    good_ious = defaultdict(list)     # AIoU source
+    missed = np.zeros(num_classes, np.int64)
+    multi = np.zeros(num_classes, np.int64)
+
+    for pred, gt in zip(predictions, groundtruths):
+        pb, ps, pl = (np.asarray(pred["boxes"]), np.asarray(pred["scores"]),
+                      np.asarray(pred["labels"]))
+        gb, gl = np.asarray(gt["boxes"]), np.asarray(gt["labels"])
+        for l in range(1, num_classes):
+            pm = pl == l
+            gm = gl == l
+            n_pos[l] += gm.sum()
+            if pm.sum() == 0:
+                missed[l] += gm.sum()
+                continue
+            order = np.argsort(-ps[pm], kind="stable")
+            boxes_l = pb[pm][order]
+            scores_l = ps[pm][order]
+            score_acc[l].extend(scores_l)
+            if gm.sum() == 0:
+                match_acc[l].extend([0] * len(scores_l))
+                continue
+            iou = np.asarray(boxes_iou_3d(
+                gb[gm].astype(np.float32), boxes_l.astype(np.float32),
+                aug_thickness=eval_aug_thickness, criterion=-1))
+            gt_index = iou.argmax(axis=0)
+            best_iou = iou.max(axis=0)
+            gt_index = np.where(best_iou < iou_thresh, -1, gt_index)
+
+            selec = np.zeros(gm.sum(), bool)
+            for pi in range(len(gt_index)):
+                gi = gt_index[pi]
+                if gi >= 0:
+                    match_acc[l].append(0 if selec[gi] else 1)
+                    selec[gi] = True
+                else:
+                    match_acc[l].append(0)
+
+            # AIoU bookkeeping: per gt, the highest-score matched pred
+            pred_count = np.zeros(gm.sum(), np.int64)
+            for gi in range(gm.sum()):
+                pis = np.where(gt_index == gi)[0]
+                pred_count[gi] = len(pis)
+                if len(pis) == 0:
+                    continue
+                best = pis[0]  # preds sorted by score desc
+                if scores_l[best] >= score_thres and \
+                        best_iou[best] > iou_thresh:
+                    good_ious[l].append(best_iou[best])
+            missed[l] += int((pred_count == 0).sum())
+            multi[l] += int((pred_count > 1).sum())
+
+    ap = np.full(num_classes, np.nan)
+    aiou = np.full(num_classes, np.nan)
+    for l in range(1, num_classes):
+        if len(score_acc[l]) == 0 or n_pos[l] == 0:
+            continue
+        scores_l = np.array(score_acc[l])
+        match_l = np.array(match_acc[l])
+        order = np.argsort(-scores_l, kind="stable")
+        match_l = match_l[order]
+        tp = np.cumsum(match_l == 1)
+        fp = np.cumsum(match_l == 0)
+        prec = tp / np.maximum(tp + fp, 1)
+        rec = tp / n_pos[l]
+        ap[l] = voc_ap_07(prec, rec)
+        if good_ious[l]:
+            aiou[l] = float(np.mean(good_ious[l]))
+
+    ap[0] = np.nanmean(ap[1:]) if np.isfinite(ap[1:]).any() else np.nan
+    aiou[0] = np.nanmean(aiou[1:]) if np.isfinite(aiou[1:]).any() else np.nan
+    with np.errstate(divide="ignore", invalid="ignore"):
+        missed_rate = missed / np.maximum(n_pos, 1)
+        multi_rate = multi / np.maximum(n_pos, 1)
+    names = class_names or [str(i) for i in range(num_classes)]
+    return DetectionEvalResult(ap=ap, aiou=aiou, n_gt=n_pos,
+                               missed_rate=missed_rate, multi_rate=multi_rate,
+                               class_names=names)

@@ -30,7 +30,11 @@ def test_separate_class_rescale():
                           "floor"),
                  separate_classes=(("wall",), ("ceiling", "floor")))
     assert cfg.group_num == 3
-    assert cfg.separate_classes_id() == ((1,), (4, 5))
+    # canonical SUNCG label order: wall=1, window=2, door=3, floor=4,
+    # ceiling=5 (suncg_metas.py:2-3)
+    assert cfg.separate_classes_id() == ((1,), (5, 4))
+    assert cfg.ordered_class_names() == (
+        "background", "wall", "window", "door", "floor", "ceiling")
     assert cfg.rpn_pre_nms_top_n_train == 1000  # 2000 * 1.5/3
     assert cfg.roi_batch_size_per_image == 256
     assert cfg.roi_detections_per_img == 100

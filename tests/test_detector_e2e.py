@@ -24,8 +24,9 @@ def tiny_cfg(**kw):
         rpn=RPNConfig(
             rpn_scales_from_top=(2, 1),
             rpn_3d_2d_selector=(0, 1, 2),
-            anchor_sizes_3d=((0.2, 0.5, 3), (0.4, 1.5, 3)),
-            use_yaws=(1, 1),
+            anchor_sizes_3d=((0.2, 0.5, 3), (0.4, 1.5, 3),
+                             (0.6, 2.5, 3)),
+            use_yaws=(1, 1, 1),
             fpn_pre_nms_top_n_train=256, fpn_pre_nms_top_n_test=256,
             fpn_post_nms_top_n_train=64, fpn_post_nms_top_n_test=64,
             batch_size_per_image=64,
