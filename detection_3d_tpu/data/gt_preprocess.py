@@ -1,0 +1,454 @@
+"""Offline ground-truth refinement: wall merge/crop/dedup, opening
+alignment, ceiling/floor generation.
+
+Parity targets (all host-side numpy — this is the reference's offline
+data-generation stage, not the TPU compute path):
+  * preprocess_walls pipeline —
+    /root/reference/data3d/suncg_utils/wall_preprocessing.py:12-66:
+    direction normalization -> merge pieces along Y -> merge along X ->
+    crop at centerline intersections -> merge along Y again -> dedup
+    close walls;
+  * merge_2pieces_of_1wall thresholds (wall_preprocessing.py:69-190);
+  * crop_walls via centerline intersections not on corners
+    (wall_preprocessing.py:400-446; Bbox3D.all_intersections_by_cenline
+    with x_size_expand=0.08);
+  * find_close_walls containment dedup (wall_preprocessing.py:470-525);
+  * window/door correction: snap to the host wall's yaw, thickness 0.175,
+    diagonal-derived length (window_preprocessing.py:10-33,
+    correct_bad_windows);
+  * ceiling/floor slabs spanning the wall envelope
+    (celing_floor_room_preprocessing.py — simplified to the bounding
+    envelope; the reference builds room polygons).
+
+All boxes are STANDARD format [xc, yc, zc, x_size, y_size, z_size, yaw]
+with x_size >= y_size and yaw in [0, pi).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+MERGE_Z_ANYWAY_XYIOU_THRESHOLD = 0.75
+
+
+# --------------------------------------------------------------------------
+# small geometry helpers (numpy twins of utils3d/geometric_util.py)
+# --------------------------------------------------------------------------
+
+def limit_period_np(val, offset, period):
+    return val - np.floor(val / period + offset) * period
+
+
+def ave_angles(a0, a1):
+    """Average two yaw angles in (-pi/2, pi/2] accounting for wrap
+    (geometric_util.ave_angles scope_id=1 semantics)."""
+    dif = limit_period_np(a1 - a0, 0.5, np.pi)
+    return limit_period_np(a0 + dif / 2, 0.5, np.pi)
+
+
+def centroid_line(box, axis: str = "X"):
+    """Endpoints of the box centroid line along its local x (or y) axis.
+    Returns (2, 3). (Bbox3D.bboxes_centroid_lines)"""
+    c, s = np.cos(box[6]), np.sin(box[6])
+    if axis == "X":
+        d = np.array([c, -s, 0.0]) * box[3] * 0.5
+    else:
+        d = np.array([s, c, 0.0]) * box[4] * 0.5
+    cen = box[:3]
+    return np.stack([cen - d, cen + d], 0)
+
+
+def vertical_dis_point_line(p, line):
+    """Distance from point to the (infinite) 2D line through line[0:2]."""
+    a, b = line[0][:2], line[1][:2]
+    ab = b - a
+    n = np.linalg.norm(ab)
+    if n < 1e-9:
+        return np.linalg.norm(p[:2] - a)
+    return abs(np.cross(ab, p[:2] - a)) / n
+
+
+def cenline_intersection_2d(box_i, box_j, x_size_expand=0.08,
+                            corner_tol=0.1):
+    """Intersection point of two walls' centroid lines, if it lies on both
+    segments (with x_size expanded); classify whether it sits on box_i's
+    corner. Returns (point (3,) or None, on_corner_i: bool).
+    (Bbox3D.cenline_intersection semantics.)"""
+    li = centroid_line(_expand_x(box_i, x_size_expand))
+    lj = centroid_line(_expand_x(box_j, x_size_expand))
+    p1, p2 = li[0][:2], li[1][:2]
+    p3, p4 = lj[0][:2], lj[1][:2]
+    d1 = p2 - p1
+    d2 = p4 - p3
+    denom = np.cross(d1, d2)
+    if abs(denom) < 1e-9:
+        return None, False
+    t = np.cross(p3 - p1, d2) / denom
+    u = np.cross(p3 - p1, d1) / denom
+    if not (0.0 <= t <= 1.0 and 0.0 <= u <= 1.0):
+        return None, False
+    pt2 = p1 + t * d1
+    z = box_i[2]
+    # on-corner test vs the *unexpanded* box_i ends
+    li0 = centroid_line(box_i)
+    dis_ends = min(np.linalg.norm(pt2 - li0[0][:2]),
+                   np.linalg.norm(pt2 - li0[1][:2]))
+    on_corner = dis_ends < corner_tol + x_size_expand
+    return np.array([pt2[0], pt2[1], z]), on_corner
+
+
+def _expand_x(box, e):
+    b = box.copy()
+    b[3] += e
+    return b
+
+
+# --------------------------------------------------------------------------
+# wall direction normalization
+# --------------------------------------------------------------------------
+
+def define_walls_direction(boxes):
+    """x_size >= y_size (swap + rotate yaw by pi/2 otherwise), yaw wrapped
+    to [0, pi) (Bbox3D.define_walls_direction for standard boxes)."""
+    boxes = np.asarray(boxes, np.float64).reshape(-1, 7).copy()
+    swap = boxes[:, 3] < boxes[:, 4]
+    xs = boxes[:, 3].copy()
+    boxes[swap, 3] = boxes[swap, 4]
+    boxes[swap, 4] = xs[swap]
+    boxes[swap, 6] += np.pi / 2
+    boxes[:, 6] = limit_period_np(boxes[:, 6], 0.0, np.pi)
+    return boxes
+
+
+# --------------------------------------------------------------------------
+# merging
+# --------------------------------------------------------------------------
+
+def merge_2pieces_of_1wall(bbox0, bbox1, dim: str):
+    """Merge two colinear (dim='X') or stacked (dim='Y') wall pieces.
+    Returns merged (7,) or None. Thresholds follow
+    wall_preprocessing.py:69-190."""
+    b0 = np.asarray(bbox0, np.float64).reshape(7).copy()
+    b1 = np.asarray(bbox1, np.float64).reshape(7).copy()
+    d = 0 if dim == "X" else 1
+    dif = b1 - b0
+    dif[6] = limit_period_np(dif[6], 0.5, np.pi)
+
+    so_tol = 0.05 if d == 0 else 0.15
+    so_same = abs(dif[3 + 1 - d]) < so_tol
+    z_same = abs(dif[2]) < 0.01 and abs(dif[5]) < 0.01
+    if not z_same:
+        z0min, z0max = b0[2] - b0[5] / 2, b0[2] + b0[5] / 2
+        z1min, z1max = b1[2] - b1[5] / 2, b1[2] + b1[5] / 2
+        z_same = abs(z1min - z0min) < 0.01 and abs(z1max - z0max) < 0.03
+        if z_same or _xy_iou(b0, b1) > MERGE_Z_ANYWAY_XYIOU_THRESHOLD:
+            z_same = True
+            zmin, zmax = min(z0min, z1min), max(z0max, z1max)
+            for b in (b0, b1):
+                b[2] = (zmin + zmax) / 2
+                b[5] = zmax - zmin
+    yaw_same = abs(dif[6]) < 0.05
+    if not (z_same and so_same and yaw_same):
+        return None
+
+    if d == 0:
+        # colinear check: b1 center close to b0's centroid line, and the
+        # pieces overlap/abut along x
+        dis01 = vertical_dis_point_line(b1[:3], centroid_line(b0))
+        if dis01 >= b0[4] * 0.51 + 0.01:
+            return None
+        cen_dis = np.linalg.norm(dif[:3])
+        if cen_dis >= (b0[3] + b1[3]) * 0.5 + 0.01:
+            return None
+
+    line1 = centroid_line(b1, "Y" if d == 0 else "X")
+    cen_dis = vertical_dis_point_line(b0[:3], line1)
+    s0, s1 = b0[3 + d], b1[3 + d]
+    if s1 * 0.5 > cen_dis + s0 * 0.5:
+        return b1
+    if s0 * 0.5 > cen_dis + s1 * 0.5:
+        return b0
+    k = s1 / (s0 + s1)
+    merged = (b0 + b1) / 2
+    merged[6] = ave_angles(b0[6], b1[6])
+    merged[:3] = b0[:3] + (b1[:3] - b0[:3]) * k
+    merged[3 + d] = (s0 + s1) / 2 + cen_dis
+    return merged
+
+
+def _xy_iou(b0, b1):
+    from detection_3d_tpu.ops.rotated_iou import rotated_iou_pair
+    import jax.numpy as jnp
+    q = jnp.asarray([b0[0], b0[1], b0[3], b0[4], b0[6]], jnp.float32)
+    b = jnp.asarray([b1[0], b1[1], b1[3], b1[4], b1[6]], jnp.float32)
+    return float(rotated_iou_pair(q, b, -1))
+
+
+def _corner_intersection_counts(walls):
+    n = walls.shape[0]
+    counts = np.zeros(n, np.int64)
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            pt, on_corner = cenline_intersection_2d(walls[i], walls[j])
+            if pt is not None and on_corner:
+                counts[i] += 1
+    return counts
+
+
+def merge_pieces_of_same_walls_along_x(walls):
+    """Merge candidate walls (fewer than 2 corner intersections) pairwise
+    along X (wall_preprocessing.py:192-247)."""
+    if walls.shape[0] == 0:
+        return walls
+    walls = walls.copy()
+    counts = _corner_intersection_counts(walls)
+    cand = np.where(counts < 2)[0]
+    keep = np.ones(walls.shape[0], bool)
+    for ii in range(len(cand) - 1):
+        i = cand[ii]
+        if not keep[i]:
+            continue
+        for jj in range(ii + 1, len(cand)):
+            j = cand[jj]
+            merged = merge_2pieces_of_1wall(walls[i], walls[j], "X")
+            if merged is not None:
+                keep[i] = False
+                walls[j] = merged
+                break
+    return walls[keep]
+
+
+def merge_pieces_of_same_walls_along_y(walls):
+    """Merge parallel overlapping pieces along thickness
+    (wall_preprocessing.py:249-330, the equal-length branch; the
+    split-then-merge branch falls back to dropping the short piece)."""
+    if walls.shape[0] == 0:
+        return walls
+    walls = walls.copy()
+    n = walls.shape[0]
+    keep = np.ones(n, bool)
+    for i in range(n - 1):
+        if not keep[i]:
+            continue
+        for j in range(i + 1, n):
+            if not keep[j]:
+                continue
+            ang = abs(limit_period_np(walls[i, 6] - walls[j, 6], 0.5, np.pi))
+            if ang >= 7 * np.pi / 180:
+                continue
+            li = centroid_line(walls[i])
+            lj = centroid_line(walls[j])
+            end_dis = min(np.linalg.norm(li[a][:2] - lj[b][:2])
+                          for a in range(2) for b in range(2))
+            if end_dis >= (walls[i, 4] + walls[j, 4]) * 0.5:
+                continue
+            cen_dis = np.linalg.norm(walls[i, :3] - walls[j, :3])
+            if cen_dis >= (walls[i, 3] + walls[j, 3]) * 0.45 - 0.1:
+                continue
+            vd = (vertical_dis_point_line(li[0], lj)
+                  + vertical_dis_point_line(li[1], lj)) / 2
+            thick = (walls[i, 4] + walls[j, 4]) * 0.5
+            rate = vd / max(thick, 1e-9)
+            if not (0.2 < rate < 1.2):
+                continue
+            size_rate = walls[i, 3] / max(walls[j, 3], 1e-9)
+            if abs(size_rate - 1) < 0.15:
+                merged = merge_2pieces_of_1wall(walls[i], walls[j], "Y")
+                if merged is not None:
+                    walls[j] = merged
+                    keep[i] = False
+                    break
+            else:
+                # simplified split-and-merge: keep the longer wall
+                short = i if walls[i, 3] < walls[j, 3] else j
+                keep[short] = False
+                if short == i:
+                    break
+    return walls[keep]
+
+
+# --------------------------------------------------------------------------
+# cropping + dedup
+# --------------------------------------------------------------------------
+
+def split_wall_at_points(wall, points):
+    """Split a wall at centerline points (projections along local x).
+    (Bbox3D.split_wall_by_centroid_intersections)"""
+    line = centroid_line(wall)
+    d = line[1] - line[0]
+    length = np.linalg.norm(d[:2])
+    u = d / max(length, 1e-9)
+    ts = sorted(float(np.dot(p[:2] - line[0][:2], u[:2])) for p in points)
+    cuts = [0.0] + [t for t in ts if 0.05 < t < length - 0.05] + [length]
+    out = []
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        if b - a < 0.06:
+            continue
+        piece = wall.copy()
+        piece[:3] = line[0] + u * (a + b) / 2
+        piece[2] = wall[2]
+        piece[3] = b - a
+        out.append(piece)
+    return np.array(out).reshape(-1, 7)
+
+
+def crop_walls(walls):
+    """Split walls at centerline intersections away from corners
+    (wall_preprocessing.py:400-446)."""
+    if walls.shape[0] == 0:
+        return walls
+    n = walls.shape[0]
+    keep = np.ones(n, bool)
+    new_walls = []
+    for i in range(n):
+        pts = []
+        for j in range(n):
+            if i == j:
+                continue
+            pt, on_corner = cenline_intersection_2d(walls[i], walls[j])
+            if pt is not None and not on_corner:
+                if all(np.linalg.norm(pt[:2] - q[:2]) >= 4e-2 for q in pts):
+                    pts.append(pt)
+        if pts:
+            pieces = split_wall_at_points(walls[i], pts)
+            if pieces.shape[0] > 1:
+                keep[i] = False
+                new_walls.append(pieces)
+    walls = walls[keep]
+    if new_walls:
+        walls = np.concatenate([walls] + new_walls, 0)
+    return walls
+
+
+def find_close_walls(walls):
+    """Containment-based dedup (wall_preprocessing.py:470-525): if two
+    walls contain each other, average-merge; if one is inside the other,
+    drop the inner one."""
+    n = walls.shape[0]
+    if n == 0:
+        return walls
+    walls = walls.copy()
+
+    def inside(i, j):
+        # wall i inside wall j: i's centroid-line ends near j's line and
+        # within j's extent
+        li = centroid_line(walls[i])
+        lj = centroid_line(walls[j])
+        vd = max(vertical_dis_point_line(li[0], lj),
+                 vertical_dis_point_line(li[1], lj))
+        if vd >= walls[j, 4] * 0.8 + 0.03:
+            return False
+        d = lj[1][:2] - lj[0][:2]
+        L = np.linalg.norm(d)
+        u = d / max(L, 1e-9)
+        for end in li:
+            t = np.dot(end[:2] - lj[0][:2], u)
+            if t < -0.05 or t > L + 0.05:
+                return False
+        return True
+
+    keep = np.ones(n, bool)
+    for i in range(n - 1):
+        if not keep[i]:
+            continue
+        for j in range(i + 1, n):
+            if not keep[j]:
+                continue
+            in_ij, in_ji = inside(i, j), inside(j, i)
+            if in_ij and in_ji:
+                m = (walls[i] + walls[j]) / 2
+                m[6] = ave_angles(walls[i, 6], walls[j, 6])
+                m[3:6] = np.maximum(walls[i, 3:6], walls[j, 3:6])
+                walls[j] = m
+                keep[i] = False
+                break
+            if in_ij:
+                keep[i] = False
+                break
+            if in_ji:
+                keep[j] = False
+    return walls[keep]
+
+
+def preprocess_walls(wall_bboxes):
+    """Full wall-refinement pipeline (wall_preprocessing.py:12-66)."""
+    walls = np.asarray(wall_bboxes, np.float64).reshape(-1, 7)
+    if walls.shape[0] == 0:
+        return walls
+    walls = define_walls_direction(walls)
+    walls = merge_pieces_of_same_walls_along_y(walls)
+    walls = merge_pieces_of_same_walls_along_x(walls)
+    walls = crop_walls(walls)
+    walls = merge_pieces_of_same_walls_along_y(walls)
+    walls = find_close_walls(walls)
+    return walls
+
+
+# --------------------------------------------------------------------------
+# openings (windows / doors) + slabs
+# --------------------------------------------------------------------------
+
+def _host_wall_ids(openings, walls):
+    """Wall whose footprint contains each opening centroid; -1 if none."""
+    ids = np.full(openings.shape[0], -1, np.int64)
+    for i, op in enumerate(openings):
+        best, best_d = -1, np.inf
+        for j, w in enumerate(walls):
+            line = centroid_line(w)
+            vd = vertical_dis_point_line(op[:3], line)
+            d = line[1][:2] - line[0][:2]
+            L = np.linalg.norm(d)
+            t = np.dot(op[:2] - line[0][:2], d / max(L, 1e-9))
+            if vd < w[4] * 0.5 + 0.3 and -0.2 <= t <= L + 0.2 and vd < best_d:
+                best, best_d = j, vd
+        ids[i] = best
+    return ids
+
+
+def preprocess_openings(openings, walls, thickness: float = 0.175):
+    """Align windows/doors to host walls (window_preprocessing.py:10-33 +
+    correct_bad_windows): misaligned openings adopt the wall's yaw, a
+    fixed thickness, and a diagonal-corrected length."""
+    ops = define_walls_direction(openings)
+    if ops.shape[0] == 0 or walls.shape[0] == 0:
+        return ops
+    hosts = _host_wall_ids(ops, walls)
+    for i, h in enumerate(hosts):
+        if h < 0:
+            continue
+        yaw_dif = abs(limit_period_np(ops[i, 6] - walls[h, 6], 0.5, np.pi))
+        if yaw_dif < 0.05 and ops[i, 4] <= 0.3:
+            continue  # already aligned and thin
+        diag = np.sqrt(ops[i, 3] ** 2 + ops[i, 4] ** 2)
+        ops[i, 6] = walls[h, 6]
+        ops[i, 4] = thickness
+        yaws = limit_period_np(walls[h, 6], 0.0, np.pi / 2)
+        ops[i, 3] = diag - thickness * np.sin(2 * yaws)
+    ops[:, 6] = limit_period_np(ops[:, 6], 0.0, np.pi)
+    return ops
+
+
+preprocess_windows = preprocess_openings
+preprocess_doors = preprocess_openings
+
+
+def make_ceiling_floor(walls, thickness: float = 0.12):
+    """Axis-aligned ceiling + floor slabs spanning the wall envelope
+    (simplified celing_floor_room_preprocessing.preprocess_cfr, which
+    builds per-room polygons from wall centerlines)."""
+    if walls.shape[0] == 0:
+        return np.zeros((0, 7)), np.zeros((0, 7))
+    from detection_3d_tpu.ops.geometry import box3d_corners
+    import jax.numpy as jnp
+    corners = np.asarray(box3d_corners(jnp.asarray(walls))).reshape(-1, 3)
+    mn, mx = corners.min(0), corners.max(0)
+    cx, cy = (mn[0] + mx[0]) / 2, (mn[1] + mx[1]) / 2
+    sx, sy = mx[0] - mn[0], mx[1] - mn[1]
+    floor = np.array([[cx, cy, mn[2] + thickness / 2, sx, sy, thickness, 0]])
+    ceiling = np.array([[cx, cy, mx[2] - thickness / 2, sx, sy, thickness,
+                         0]])
+    return define_walls_direction(ceiling), define_walls_direction(floor)

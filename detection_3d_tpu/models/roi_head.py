@@ -204,33 +204,33 @@ def postprocess(cfg: Config, proposals: Boxes3D, class_logits,
     dec = decoded.reshape(r, num_classes, 7)
 
     ay, az = cfg.roi.nms_aug_thickness_y_z
-    per_class_boxes = []
-    per_class_scores = []
-    per_class_labels = []
-    per_class_valid = []
-    for j in range(1, num_classes):
-        boxes_j = dec[:, j]
-        scores_j = probs[:, j]
+    post_cap = min(500, r)  # roi_post max_proposals=-1 -> cap 500
+                            # (boxlist_ops_3d.py:38-39)
+
+    def per_class(boxes_j, scores_j):
         valid_j = proposals.valid & (scores_j > cfg.roi.score_thresh)
         nms_boxes = boxes_j.at[:, 3:5].set(jnp.maximum(boxes_j[:, 3:5], ay))
         nms_boxes = nms_boxes.at[:, 5].set(jnp.maximum(nms_boxes[:, 5], az))
         iou = boxes_iou_3d(nms_boxes, nms_boxes, aug_thickness=None,
                            criterion=-1)
-        # roi_post passes max_proposals=-1 -> cap 500 (boxlist_ops_3d.py:38-39)
         keep_idx, _ = nms_from_iou(iou, scores_j, valid_j, cfg.roi.nms,
-                                   min(500, r))
+                                   post_cap)
         kept = Boxes3D(boxes_j, valid_j,
                        {"scores": scores_j}).gather(keep_idx)
-        per_class_boxes.append(kept.boxes)
-        per_class_scores.append(kept.fields["scores"])
-        per_class_labels.append(
-            jnp.full((kept.capacity,), j, jnp.int32))
-        per_class_valid.append(kept.valid)
+        return kept.boxes, kept.fields["scores"], kept.valid
 
-    boxes = jnp.concatenate(per_class_boxes, 0)
-    scores = jnp.concatenate(per_class_scores, 0)
-    labels = jnp.concatenate(per_class_labels, 0)
-    valid = jnp.concatenate(per_class_valid, 0)
+    # vmap over foreground classes: one compiled NMS instead of C-1 copies
+    fg_boxes = jnp.swapaxes(dec[:, 1:], 0, 1)       # (C-1, R, 7)
+    fg_scores = jnp.swapaxes(probs[:, 1:], 0, 1)    # (C-1, R)
+    b_c, s_c, v_c = jax.vmap(per_class)(fg_boxes, fg_scores)
+    l_c = jnp.broadcast_to(
+        jnp.arange(1, num_classes, dtype=jnp.int32)[:, None],
+        v_c.shape)
+
+    boxes = b_c.reshape(-1, 7)
+    scores = s_c.reshape(-1)
+    labels = l_c.reshape(-1)
+    valid = v_c.reshape(-1)
 
     # global top-K by score over all classes
     pri = jnp.where(valid, scores, -1.0)

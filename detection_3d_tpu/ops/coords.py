@@ -68,9 +68,12 @@ def lex_searchsorted(hi_sorted, lo_sorted, hi_q, lo_q):
 
     lo_bound = jnp.zeros_like(hi_q)
 
-    # classic branchless binary search: maintain insertion lower bound
-    def step_fn(shift, lo_bound):
-        probe = lo_bound + (1 << shift)
+    # classic branchless binary search (lower-bound); fori_loop keeps the
+    # trace small — this lookup is instantiated hundreds of times per
+    # model forward (once per kernel offset per scale)
+    def step_fn(i, lo_bound):
+        shift = nbits - 1 - i
+        probe = lo_bound + jnp.left_shift(jnp.int32(1), shift)
         ok = probe <= n
         pi = jnp.clip(probe - 1, 0, n - 1)
         th = hi_sorted[pi]
@@ -78,8 +81,7 @@ def lex_searchsorted(hi_sorted, lo_sorted, hi_q, lo_q):
         advance = ok & _lex_less(th, tl, hi_q, lo_q)
         return jnp.where(advance, probe, lo_bound)
 
-    for shift in range(nbits - 1, -1, -1):
-        lo_bound = step_fn(shift, lo_bound)
+    lo_bound = jax.lax.fori_loop(0, nbits, step_fn, lo_bound)
 
     idx = jnp.clip(lo_bound, 0, n - 1).astype(jnp.int32)
     found = (hi_sorted[idx] == hi_q) & (lo_sorted[idx] == lo_q) & (
