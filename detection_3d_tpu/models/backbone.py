@@ -57,15 +57,16 @@ def bev_collapse_table(table: SparseTensor, capacity: int) -> SparseTensor:
 
 
 def bev_rulebook(bev_table: SparseTensor, table: SparseTensor):
-    """(Z, V_bev) gather indices: offset kz looks up (x, y, kz, b)."""
+    """(Z, V_bev) gather indices: offset kz looks up (x, y, kz, b) — one
+    vectorized lookup over all Z offsets."""
     Z = table.spatial_size[2]
     v_in = table.capacity
-    idx_list = []
-    for kz in range(Z):
-        q = bev_table.coords.at[:, 2].set(kz)
-        idx, found = table.lookup(q, valid=bev_table.row_valid)
-        idx_list.append(jnp.where(found, idx, v_in))
-    return jnp.stack(idx_list, axis=0)
+    kz = jnp.arange(Z, dtype=jnp.int32)
+    q = jnp.broadcast_to(bev_table.coords[None, :, :],
+                         (Z,) + bev_table.coords.shape)
+    q = q.at[:, :, 2].set(kz[:, None])
+    idx, found = table.lookup(q, valid=bev_table.row_valid[None, :])
+    return jnp.where(found, idx, v_in)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -85,7 +85,11 @@ def roi_align_rotated_sparse(table: SparseTensor, rois, roi_valid,
     X, Y, Z = table.spatial_size
 
     def trilinear(px, py, pz):
-        """px/py/pz: (...,) continuous coords -> (..., C) features."""
+        """px/py/pz: (...,) continuous coords -> (..., C) features.
+
+        All 8 corner lookups resolve in ONE vectorized binary search; the
+        weighted sum is a scan over the stacked corners.
+        """
         inb = ((px > -1.0) & (px < X) & (py > -1.0) & (py < Y)
                & (pz > -1.0) & (pz < Z))
         px = jnp.clip(px, 0.0, X - 1)
@@ -103,16 +107,27 @@ def roi_align_rotated_sparse(table: SparseTensor, rois, roi_valid,
 
         feats_pad = jnp.concatenate(
             [table.feats, jnp.zeros((1, c), table.feats.dtype)], axis=0)
-        acc = 0.0
-        for cx, wx in ((x0, 1 - fx), (x1, fx)):
-            for cy, wy in ((y0, 1 - fy), (y1, fy)):
-                for cz, wz in ((z0, 1 - fz), (z1, fz)):
-                    q = jnp.stack(
-                        [cx, cy, cz, jnp.zeros_like(cx)], axis=-1)
-                    idx, found = table.lookup(q)
-                    rows = feats_pad[jnp.where(found, idx, table.capacity)]
-                    w = (wx * wy * wz)[..., None]
-                    acc = acc + rows * w.astype(rows.dtype)
+
+        corner_x = jnp.stack([x0, x0, x0, x0, x1, x1, x1, x1])  # (8, ...)
+        corner_y = jnp.stack([y0, y0, y1, y1, y0, y0, y1, y1])
+        corner_z = jnp.stack([z0, z1, z0, z1, z0, z1, z0, z1])
+        wx = jnp.stack([1 - fx] * 4 + [fx] * 4)
+        wy = jnp.stack([1 - fy, 1 - fy, fy, fy] * 2)
+        wz = jnp.stack([1 - fz, fz] * 4)
+        w8 = wx * wy * wz                                       # (8, ...)
+
+        q = jnp.stack([corner_x, corner_y, corner_z,
+                       jnp.zeros_like(corner_x)], axis=-1)      # (8,...,4)
+        idx, found = table.lookup(q)
+        idx = jnp.where(found, idx, table.capacity)
+
+        def body(acc, args):
+            idx_k, w_k = args
+            return acc + feats_pad[idx_k] * w_k[..., None].astype(
+                feats_pad.dtype), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros(px.shape + (c,),
+                                              feats_pad.dtype), (idx, w8))
         return jnp.where(inb[..., None], acc, 0.0)
 
     # full sample grid (R, os0*sr, os1*sr, os2*sr)

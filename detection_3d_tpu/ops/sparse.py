@@ -160,17 +160,13 @@ def neighbor_indices(table: SparseTensor, offsets):
     (/root/reference/SparseConvNet/sparseconvnet/SCN/Metadata/
     SubmanifoldConvolutionRules.h:26-57), but as dense (K, V) index arrays:
     idx[k, i] = row of neighbor of site i at offset k, or V (a zero pad row)
-    when absent.
+    when absent. All K offsets resolve in ONE vectorized binary search.
     """
     v = table.capacity
-    zero = jnp.zeros((1, 4), jnp.int32)
-    idx_list = []
-    for off in offsets:
-        delta = jnp.array([off[0], off[1], off[2], 0], jnp.int32)
-        q = table.coords + delta
-        idx, found = table.lookup(q, valid=table.row_valid)
-        idx_list.append(jnp.where(found, idx, v))
-    return jnp.stack(idx_list, axis=0)
+    deltas = jnp.array([[o[0], o[1], o[2], 0] for o in offsets], jnp.int32)
+    q = table.coords[None, :, :] + deltas[:, None, :]        # (K, V, 4)
+    idx, found = table.lookup(q, valid=table.row_valid[None, :])
+    return jnp.where(found, idx, v)
 
 
 @functools.partial(jax.jit, static_argnames=("kernel", "stride", "capacity"))
@@ -229,12 +225,9 @@ def conv_rulebook(out_table: SparseTensor, in_table: SparseTensor,
     st = jnp.array([stride[0], stride[1], stride[2], 1], jnp.int32)
     base = out_table.coords * st
     v_in = in_table.capacity
-    idx_list = []
-    for kx in range(kernel[0]):
-        for ky in range(kernel[1]):
-            for kz in range(kernel[2]):
-                delta = jnp.array([kx, ky, kz, 0], jnp.int32)
-                q = base + delta
-                idx, found = in_table.lookup(q, valid=out_table.row_valid)
-                idx_list.append(jnp.where(found, idx, v_in))
-    return jnp.stack(idx_list, axis=0)
+    deltas = jnp.array(
+        [[kx, ky, kz, 0] for kx in range(kernel[0])
+         for ky in range(kernel[1]) for kz in range(kernel[2])], jnp.int32)
+    q = base[None, :, :] + deltas[:, None, :]                # (K, V, 4)
+    idx, found = in_table.lookup(q, valid=out_table.row_valid[None, :])
+    return jnp.where(found, idx, v_in)

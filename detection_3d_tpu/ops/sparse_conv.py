@@ -43,12 +43,19 @@ def gather_conv(feats, neighbor_idx, weights, out_valid,
     Returns: (V_out, Cout) in feats.dtype.
     """
     src = _padded(feats)
-    k = weights.shape[0]
-    out = None
-    for i in range(k):
-        rows = src[neighbor_idx[i]]
-        part = jnp.dot(rows, weights[i], preferred_element_type=accum_dtype)
-        out = part if out is None else out + part
+    cout = weights.shape[-1]
+    v_out = neighbor_idx.shape[1]
+    init = jnp.zeros((v_out, cout), accum_dtype)
+
+    def body(acc, kw):
+        idx_k, w_k = kw
+        rows = src[idx_k]
+        return acc + jnp.dot(rows, w_k,
+                             preferred_element_type=accum_dtype), None
+
+    # scan over kernel offsets: one traced body instead of K copies —
+    # this op is instantiated ~30x per model forward
+    out, _ = jax.lax.scan(body, init, (neighbor_idx, weights))
     out = jnp.where(out_valid[:, None], out, 0.0)
     return out.astype(feats.dtype)
 
@@ -82,20 +89,17 @@ def deconv_rulebook(fine_table, coarse_table, kernel, stride):
     divisible by stride and (x - k)/stride is an active coarse site.
     """
     v_coarse = coarse_table.capacity
-    idx_list = []
     fx = fine_table.coords
-    for kx in range(kernel[0]):
-        for ky in range(kernel[1]):
-            for kz in range(kernel[2]):
-                delta = jnp.array([kx, ky, kz, 0], jnp.int32)
-                st = jnp.array([stride[0], stride[1], stride[2], 1], jnp.int32)
-                num = fx - delta
-                o = num // st
-                exact = jnp.all(o * st == num, axis=-1)
-                idx, found = coarse_table.lookup(
-                    o, valid=fine_table.row_valid & exact)
-                idx_list.append(jnp.where(found & exact, idx, v_coarse))
-    return jnp.stack(idx_list, axis=0)
+    st = jnp.array([stride[0], stride[1], stride[2], 1], jnp.int32)
+    deltas = jnp.array(
+        [[kx, ky, kz, 0] for kx in range(kernel[0])
+         for ky in range(kernel[1]) for kz in range(kernel[2])], jnp.int32)
+    num = fx[None, :, :] - deltas[:, None, :]                # (K, V, 4)
+    o = num // st
+    exact = jnp.all(o * st == num, axis=-1)                  # (K, V)
+    idx, found = coarse_table.lookup(
+        o, valid=fine_table.row_valid[None, :] & exact)
+    return jnp.where(found & exact, idx, v_coarse)
 
 
 def nin_conv(feats, weight, out_valid):
