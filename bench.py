@@ -61,8 +61,9 @@ def main():
                             batch["points_valid"])
     rng = jax.random.PRNGKey(0)
     gt = Boxes3D(batch["gt_boxes"], batch["gt_valid"])
-    params = model.init(rng, table, gt, batch["gt_labels"],
-                        is_train=True, rng=rng)
+    import functools
+    params = jax.jit(functools.partial(model.init, is_train=False))(
+        rng, table)
 
     predict = make_predict_fn(cfg, model)
     # compile

@@ -83,9 +83,10 @@ class Trainer:
                                 jnp.asarray(batch["points_valid"]))
         gt = Boxes3D(jnp.asarray(batch["gt_boxes"]),
                      jnp.asarray(batch["gt_valid"]))
-        params = self.model.init(rng, table, gt,
-                                 jnp.asarray(batch["gt_labels"]),
-                                 is_train=True, rng=rng)
+        init_fn = jax.jit(functools.partial(self.model.init,
+                                            is_train=True))
+        params = init_fn(rng, table, gt, jnp.asarray(batch["gt_labels"]),
+                         rng=rng)
         self._tx, self.lr_fn = make_optimizer(self.cfg, params,
                                               iters_per_epoch)
         opt_state = self._tx.init(params)
