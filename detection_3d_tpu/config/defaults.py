@@ -148,6 +148,9 @@ class CapacityConfig:
     max_points: int = 500_000          # input points per batch
     voxel_caps: Tuple[int, ...] = ()   # per-scale table capacity ('' = auto)
     max_gt: int = 128                  # ground-truth boxes per example
+    # scales whose grid volume fits this budget get a dense row-index grid
+    # (one-gather lookups instead of binary search); 2^26 = 256 MB int32
+    dense_grid_max_entries: int = 1 << 26
 
     def scale_caps(self, num_scales: int, base: Optional[int] = None):
         if self.voxel_caps:
@@ -166,6 +169,8 @@ class CapacityConfig:
 class Config:
     classes: Tuple[str, ...] = ("background", "wall", "door", "window")
     elements: Tuple[str, ...] = ("xyz", "color", "normal")
+    # dtype for backbone/head feature compute (geometry & losses stay f32)
+    compute_dtype: str = "bfloat16"
     separate_classes: Tuple[Tuple[str, ...], ...] = ()
     separate_rpn: bool = True
     rpn_only: bool = False

@@ -84,12 +84,14 @@ def build_pyramid(table0: SparseTensor, cfg: Config) -> Dict[str, Any]:
     n_scales = s3d.num_scales
     caps = cfg.caps.scale_caps(n_scales, base=table0.capacity)
     offs3 = submanifold_offsets((3, 3, 3))
+    budget = cfg.caps.dense_grid_max_entries
 
-    tables = [table0]
+    tables = [table0.with_dense_grid(budget)]
     down_rb = []
     for k in range(1, n_scales):
         kernel, stride = s3d.kernels[k - 1], s3d.strides[k - 1]
         t = downsample_table(tables[-1], kernel, stride, caps[k])
+        t = t.with_dense_grid(budget)
         down_rb.append(conv_rulebook(t, tables[-1], kernel, stride))
         tables.append(t)
 
@@ -104,7 +106,7 @@ def build_pyramid(table0: SparseTensor, cfg: Config) -> Dict[str, Any]:
     for slot, i_from_top in enumerate(cfg.rpn.rpn_scales_from_top):
         scale = n_scales - 1 - i_from_top
         t3d = tables[scale]
-        bev_t = bev_collapse_table(t3d, t3d.capacity)
+        bev_t = bev_collapse_table(t3d, t3d.capacity).with_dense_grid(budget)
         bev[slot] = (bev_t, bev_rulebook(bev_t, t3d))
     return {"tables": tables, "subm_idx": subm_idx, "down_rb": down_rb,
             "up_rb": up_rb, "bev": bev}

@@ -87,7 +87,9 @@ class ROIBoxFeatureExtractor(nn.Module):
         w = self.param("conv3d_w", nn.initializers.he_normal(),
                        (os2 * c, rep))
         b = self.param("conv3d_b", nn.initializers.zeros, (rep,))
-        h = pooled.reshape(r, os0, os1, os2 * c) @ w + b  # (R,os0,os1,rep)
+        dt = pooled.dtype
+        h = pooled.reshape(r, os0, os1, os2 * c) @ w.astype(dt) \
+            + b.astype(dt)
 
         # BatchNorm3d over (R, os0, os1) per channel + ReLU
         scale = self.param("bn_scale", nn.initializers.ones, (rep,))
@@ -103,8 +105,8 @@ class ROIBoxFeatureExtractor(nn.Module):
         w7 = self.param("fc7_w", nn.initializers.kaiming_uniform(),
                         (rep, rep))
         b7 = self.param("fc7_b", nn.initializers.zeros, (rep,))
-        h = jax.nn.relu(h @ w6 + b6)
-        h = jax.nn.relu(h @ w7 + b7)
+        h = jax.nn.relu(h @ w6.astype(dt) + b6.astype(dt))
+        h = jax.nn.relu(h @ w7.astype(dt) + b7.astype(dt))
         return jnp.where(roi_valid[:, None], h, 0.0)
 
 
@@ -123,7 +125,10 @@ class ROIPredictor(nn.Module):
                         lambda k, s: jax.random.normal(k, s) * 0.001,
                         (x.shape[-1], nc * 7))
         bb = self.param("box_b", nn.initializers.zeros, (nc * 7,))
-        return x @ wc + bc, x @ wb + bb
+        dt = x.dtype
+        cls = (x @ wc.astype(dt) + bc.astype(dt)).astype(jnp.float32)
+        box = (x @ wb.astype(dt) + bb.astype(dt)).astype(jnp.float32)
+        return cls, box
 
 
 def roi_targets(cfg: Config, proposals: Boxes3D, gt: Boxes3D, gt_labels):

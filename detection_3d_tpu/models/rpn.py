@@ -60,11 +60,13 @@ class RPNHead(nn.Module):
 
         logits, regs = [], []
         for f in feats_per_level:
-            t = jax.nn.relu(f @ w0 + b0)
-            lg = (t @ wc + bc).reshape(-1, a, g)      # [V, A, G]
-            rg = (t @ wb + bb).reshape(-1, a, 7 * g)  # [V, A, 7G]
-            logits.append(lg.reshape(-1, g))          # location-major
-            regs.append(rg.reshape(-1, 7 * g))
+            dt = f.dtype
+            t = jax.nn.relu(f @ w0.astype(dt) + b0.astype(dt))
+            lg = (t @ wc.astype(dt) + bc.astype(dt)).reshape(-1, a, g)
+            rg = (t @ wb.astype(dt) + bb.astype(dt)).reshape(-1, a, 7 * g)
+            # box/score math downstream is f32
+            logits.append(lg.reshape(-1, g).astype(jnp.float32))
+            regs.append(rg.reshape(-1, 7 * g).astype(jnp.float32))
         return jnp.concatenate(logits, 0), jnp.concatenate(regs, 0)
 
 

@@ -33,9 +33,18 @@ from detection_3d_tpu.ops.coords import (
 
 @jax.tree_util.register_pytree_node_class
 class SparseTensor:
-    """Sorted sparse voxel table (pytree: coords/feats/hi/lo/num traced)."""
+    """Sorted sparse voxel table (pytree: coords/feats/hi/lo/num traced).
 
-    def __init__(self, coords, feats, hi, lo, num, spatial_size, batch_size):
+    ``dense_grid`` (optional, (X*Y*Z,) int32, -1 = empty) turns every
+    lookup into ONE gather instead of a ~17-step binary search — built for
+    scales whose grid volume fits the configured budget
+    (:meth:`with_dense_grid`). This is the HBM-resident voxel-hash
+    equivalent of the reference's per-scale SparseGrid
+    (SCN/Metadata/Metadata.h:24-163), laid out TPU-style as a flat array.
+    """
+
+    def __init__(self, coords, feats, hi, lo, num, spatial_size, batch_size,
+                 dense_grid=None):
         self.coords = coords
         self.feats = feats
         self.hi = hi
@@ -43,18 +52,41 @@ class SparseTensor:
         self.num = num
         self.spatial_size = tuple(int(s) for s in spatial_size)
         self.batch_size = int(batch_size)
+        self.dense_grid = dense_grid
 
     # -- pytree protocol ---------------------------------------------------
     def tree_flatten(self):
-        children = (self.coords, self.feats, self.hi, self.lo, self.num)
+        children = (self.coords, self.feats, self.hi, self.lo, self.num,
+                    self.dense_grid)
         aux = (self.spatial_size, self.batch_size)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        coords, feats, hi, lo, num = children
+        coords, feats, hi, lo, num, dense_grid = children
         spatial_size, batch_size = aux
-        return cls(coords, feats, hi, lo, num, spatial_size, batch_size)
+        return cls(coords, feats, hi, lo, num, spatial_size, batch_size,
+                   dense_grid)
+
+    def with_dense_grid(self, max_entries: int = 1 << 26):
+        """Attach a dense (X*Y*Z*B,) row-index grid when affordable."""
+        X, Y, Z = self.spatial_size
+        total = X * Y * Z * self.batch_size
+        if total > max_entries or self.dense_grid is not None:
+            return self
+        flat = self._flat_index(self.coords)
+        flat = jnp.where(self.row_valid, flat, total)  # pad rows dropped
+        grid = jnp.full((total,), -1, jnp.int32)
+        grid = grid.at[flat].set(
+            jnp.arange(self.capacity, dtype=jnp.int32), mode="drop")
+        return SparseTensor(self.coords, self.feats, self.hi, self.lo,
+                            self.num, self.spatial_size, self.batch_size,
+                            grid)
+
+    def _flat_index(self, coords):
+        X, Y, Z = self.spatial_size
+        x, y, z, b = (coords[..., i] for i in range(4))
+        return ((b * X + x) * Y + y) * Z + z
 
     # -- helpers -----------------------------------------------------------
     @property
@@ -71,10 +103,22 @@ class SparseTensor:
 
     def with_feats(self, feats):
         return SparseTensor(self.coords, feats, self.hi, self.lo, self.num,
-                            self.spatial_size, self.batch_size)
+                            self.spatial_size, self.batch_size,
+                            self.dense_grid)
 
     def lookup(self, coords, valid=None):
         """Find rows for query coords (..., 4). Returns (idx, found)."""
+        if self.dense_grid is not None:
+            X, Y, Z = self.spatial_size
+            x, y, z, b = (coords[..., i] for i in range(4))
+            inb = ((x >= 0) & (x < X) & (y >= 0) & (y < Y) & (z >= 0)
+                   & (z < Z) & (b >= 0) & (b < self.batch_size))
+            if valid is not None:
+                inb = inb & valid
+            flat = jnp.where(inb, self._flat_index(coords), 0)
+            idx = self.dense_grid[flat]
+            found = inb & (idx >= 0)
+            return jnp.where(found, idx, 0).astype(jnp.int32), found
         qhi, qlo = pack_key(coords, self.spatial_size, valid)
         return lex_searchsorted(self.hi, self.lo, qhi, qlo)
 

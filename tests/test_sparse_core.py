@@ -191,3 +191,30 @@ def test_batch_separation():
     t = build_sparse_tensor(jnp.array(coords), jnp.array(feats),
                             jnp.ones(2, bool), (4, 4, 4), 2, 6)
     assert int(t.num) == 2
+
+
+def test_dense_grid_lookup_matches_search():
+    rng = np.random.RandomState(5)
+    coords = np.unique(rng.randint(0, 12, (60, 3)), axis=0)
+    coords = np.c_[coords, np.zeros((coords.shape[0], 1))].astype(np.int32)
+    feats = rng.randn(coords.shape[0], 2).astype(np.float32)
+    t = make_table(coords, feats, (12, 12, 12))
+    tg = t.with_dense_grid()
+    assert tg.dense_grid is not None
+
+    q = np.c_[rng.randint(-2, 14, (200, 3)),
+              np.zeros((200, 1))].astype(np.int32)
+    i1, f1 = t.lookup(jnp.array(q))
+    i2, f2 = tg.lookup(jnp.array(q))
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    found = np.asarray(f1)
+    np.testing.assert_array_equal(np.asarray(i1)[found],
+                                  np.asarray(i2)[found])
+
+
+def test_dense_grid_respects_budget():
+    coords = np.array([[0, 0, 0, 0]], np.int32)
+    feats = np.ones((1, 1), np.float32)
+    t = make_table(coords, feats, (64, 64, 64))
+    assert t.with_dense_grid(max_entries=1000).dense_grid is None
+    assert t.with_dense_grid(max_entries=1 << 20).dense_grid is not None
