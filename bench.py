@@ -49,7 +49,10 @@ def main():
         caps=CapacityConfig(
             max_points=120_000,
             voxel_caps=(65536, 32768, 16384, 8192, 4096, 2048, 1024),
-            max_gt=64),
+            max_gt=64,
+            # 2^28 covers the full-resolution 1024x1024x256 grid: every
+            # scale gets one-gather lookups (1 GB int32 grid at scale 0)
+            dense_grid_max_entries=1 << 28),
     )
 
     scene = synthetic_building(seed=0, num_points=100_000, room=10.0,
