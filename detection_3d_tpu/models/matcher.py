@@ -54,8 +54,12 @@ def match_boxes(quality, gt_valid, anchor_valid, high: float, low: float,
 
     if allow_low_quality:
         highest_per_gt = jnp.max(q, axis=1)  # (M,)
-        tie = (q == highest_per_gt[:, None]) & gt_valid[:, None] & \
-            anchor_valid[None, :]
+        # guard: a gt with zero overlap everywhere would tie with EVERY
+        # zero-quality anchor and mark the whole anchor set positive (the
+        # reference has the same pathology, matcher.py:131-166, but never
+        # hits it on its data); require a strictly positive best quality
+        tie = (q == highest_per_gt[:, None]) & (highest_per_gt[:, None] > 0) \
+            & gt_valid[:, None] & anchor_valid[None, :]
         rescued = jnp.any(tie, axis=0)
         matches = jnp.where(rescued, all_matches, matches)
 

@@ -69,7 +69,7 @@ def main():
                             lr_step_epochs=(10000,), epochs=1,
                             checkpoint_period_epochs=100000),
         caps=CapacityConfig(max_points=30_000,
-                            voxel_caps=(16384, 8192, 4096, 2048, 1024),
+                            voxel_caps=(32768, 16384, 8192, 4096, 2048),
                             max_gt=16),
         output_dir="/tmp/overfit_check",
     )
@@ -81,11 +81,39 @@ def main():
     logger.info("scene: %d points, %d gt boxes", scene["points"].shape[0],
                 scene["gt_boxes"].shape[0])
 
+    import jax.numpy as jnp
+    from detection_3d_tpu.engine.trainer import pad_scene
+
     trainer = Trainer(cfg, logger=logger)
     state = trainer.init_state(scene, iters_per_epoch=1)
+    step_fn = trainer._build_step()
+    batch = {k: jnp.asarray(v) for k, v in pad_scene(cfg, scene).items()}
+
+    # scan multi-step: removes per-step dispatch overhead (single-scene
+    # overfit uses the same batch every iteration)
+    @jax.jit
+    def multi_step(state, rng, _k=100):
+        def body(carry, i):
+            st, key = carry
+            key, sub = jax.random.split(key)
+            st, total, _, _ = step_fn(st, batch, sub)
+            return (st, key), total
+        (state, _), totals = jax.lax.scan(body, (state, rng),
+                                          jnp.arange(_k))
+        return state, totals
+
     t0 = time.time()
-    state = trainer.train([scene] * args.steps, state, epochs=1)
-    logger.info("trained %d steps in %.1fs", args.steps, time.time() - t0)
+    rng = jax.random.PRNGKey(7)
+    done = 0
+    while done < args.steps:
+        rng, sub = jax.random.split(rng)
+        state, totals = multi_step(state, sub)
+        done += 100
+        logger.info("step %d loss %.4f", done, float(totals[-1]))
+    logger.info("trained %d steps in %.1fs", done, time.time() - t0)
+    trainer.checkpointer.save("model_final", {
+        "params": state.params, "opt_state": state.opt_state,
+        "step": jnp.asarray(done)})
 
     _, result, spb = run_inference(cfg, state.params, [scene, scene],
                                    logger=logger)
