@@ -54,15 +54,26 @@ def synthetic_building(seed: int = 0, num_points: int = 60_000,
         c, s = np.cos(yaw), np.sin(yaw)
         return c * x + s * y, -s * x + c * y
 
-    # 4 walls around the perimeter
+    # 4 walls around the perimeter, split into <=2.5 m segments — the
+    # reference's offline preprocessing crops walls at intersections
+    # (wall_preprocessing.py), so real gt walls are short pieces
+    max_seg = 2.5
     wall_specs = [
         (0.0, -half, room, 0.0), (0.0, half, room, 0.0),
         (-half, 0.0, room, np.pi / 2), (half, 0.0, room, np.pi / 2)]
     for wx, wy, length, wyaw in wall_specs:
-        cx, cy = rot_xy(wx, wy)
-        boxes_std.append([cx, cy, wall_h / 2, length, t, wall_h,
-                          (wyaw + yaw) % np.pi])
-        labels.append(name2lab["wall"])
+        n_seg = max(1, int(np.ceil(length / max_seg)))
+        seg_len = length / n_seg
+        for si in range(n_seg):
+            off = -length / 2 + (si + 0.5) * seg_len
+            if wyaw == 0.0:
+                sx_, sy_ = wx + off, wy
+            else:
+                sx_, sy_ = wx, wy + off
+            cx, cy = rot_xy(sx_, sy_)
+            boxes_std.append([cx, cy, wall_h / 2, seg_len, t, wall_h,
+                              (wyaw + yaw) % np.pi])
+            labels.append(name2lab["wall"])
 
     if "floor" in name2lab:
         boxes_std.append([0, 0, 0.06, room, room, 0.12, yaw % np.pi])
