@@ -112,8 +112,12 @@ class Trainer:
                 loss_fn, has_aux=True)(state.params)
 
             # NaN guard (trainer_sparse3d.py:86-91): skip the update when
-            # the loss is not finite.
-            ok = jnp.isfinite(total)
+            # the loss or ANY gradient is non-finite (params stay clean
+            # even when the loss is finite but grads blew up).
+            grads_ok = jax.tree_util.tree_reduce(
+                lambda a, g: a & jnp.all(jnp.isfinite(g)), grads,
+                jnp.bool_(True))
+            ok = jnp.isfinite(total) & grads_ok
             grads = jax.tree_util.tree_map(
                 lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
             updates, new_opt = tx.update(grads, state.opt_state,

@@ -123,6 +123,13 @@ def select_proposals(cfg: Config, anchors: Boxes3D, objectness, box_reg,
     post_n = (cfg.rpn_post_nms_top_n_train if is_train
               else cfg.rpn_post_nms_top_n_test)
 
+    # proposals are constants for the ROI stage — the reference selects
+    # them under torch.no_grad() (rpn_sparse3d.py:256-262); without this,
+    # gradients flow through NMS polygon math (sqrt at 0 on duplicate
+    # boxes => NaN) and through ROI-align sample coordinates
+    objectness = jax.lax.stop_gradient(objectness)
+    box_reg = jax.lax.stop_gradient(box_reg)
+
     score = jax.nn.sigmoid(objectness)
     score = jnp.where(anchors.valid, score, -1.0)
     pre_n = min(pre_n, score.shape[0])
