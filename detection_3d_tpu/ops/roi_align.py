@@ -126,8 +126,10 @@ def roi_align_rotated_sparse(table: SparseTensor, rois, roi_valid,
             return acc + feats_pad[idx_k] * w_k[..., None].astype(
                 feats_pad.dtype), None
 
+        zero = feats_pad.ravel()[0] * 0
         acc, _ = jax.lax.scan(body, jnp.zeros(px.shape + (c,),
-                                              feats_pad.dtype), (idx, w8))
+                                              feats_pad.dtype) + zero,
+                              (idx, w8))
         return jnp.where(inb[..., None], acc, 0.0)
 
     # full sample grid (R, os0*sr, os1*sr, os2*sr)

@@ -45,7 +45,10 @@ def gather_conv(feats, neighbor_idx, weights, out_valid,
     src = _padded(feats)
     cout = weights.shape[-1]
     v_out = neighbor_idx.shape[1]
-    init = jnp.zeros((v_out, cout), accum_dtype)
+    # derive the zero init from traced inputs so its sharding/varying axes
+    # match the scan outputs under shard_map
+    zero = (feats.ravel()[0] * 0).astype(accum_dtype)
+    init = jnp.zeros((v_out, cout), accum_dtype) + zero
 
     def body(acc, kw):
         idx_k, w_k = kw

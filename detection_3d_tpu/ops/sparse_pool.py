@@ -30,8 +30,9 @@ def max_pool(in_feats, rulebook_idx, out_valid):
     def body(acc, idx_k):
         return jnp.maximum(acc, src[idx_k]), None
 
+    zero = (in_feats.ravel()[0] * 0).astype(jnp.float32)
     init = jnp.full((rulebook_idx.shape[1], in_feats.shape[-1]), neg,
-                    jnp.float32)
+                    jnp.float32) + zero
     out, _ = jax.lax.scan(body, init, rulebook_idx)
     out = jnp.where(jnp.isfinite(out), out, 0.0)
     out = jnp.where(out_valid[:, None], out, 0.0)
@@ -50,9 +51,10 @@ def avg_pool(in_feats, rulebook_idx, out_valid):
         present = (idx_k < v_in).astype(jnp.float32)
         return (acc + src[idx_k], cnt + present), None
 
+    zero = (in_feats.ravel()[0] * 0).astype(jnp.float32)
     init = (jnp.zeros((rulebook_idx.shape[1], in_feats.shape[-1]),
-                      jnp.float32),
-            jnp.zeros((rulebook_idx.shape[1],), jnp.float32))
+                      jnp.float32) + zero,
+            jnp.zeros((rulebook_idx.shape[1],), jnp.float32) + zero)
     (acc, cnt), _ = jax.lax.scan(body, init, rulebook_idx)
     out = acc / jnp.maximum(cnt, 1.0)[:, None]
     out = jnp.where(out_valid[:, None], out, 0.0)
@@ -73,9 +75,10 @@ def unpool(coarse_feats, deconv_rulebook_idx, fine_valid):
         present = (idx_k < v_coarse).astype(jnp.float32)
         return (acc + src[idx_k], cnt + present), None
 
+    zero = (coarse_feats.ravel()[0] * 0).astype(jnp.float32)
     init = (jnp.zeros((deconv_rulebook_idx.shape[1],
-                       coarse_feats.shape[-1]), jnp.float32),
-            jnp.zeros((deconv_rulebook_idx.shape[1],), jnp.float32))
+                       coarse_feats.shape[-1]), jnp.float32) + zero,
+            jnp.zeros((deconv_rulebook_idx.shape[1],), jnp.float32) + zero)
     (acc, cnt), _ = jax.lax.scan(body, init, deconv_rulebook_idx)
     out = acc / jnp.maximum(cnt, 1.0)[:, None]
     out = jnp.where(fine_valid[:, None], out, 0.0)
