@@ -155,3 +155,24 @@ def evaluate_detections(predictions: List[Dict], groundtruths: List[Dict],
     return DetectionEvalResult(ap=ap, aiou=aiou, n_gt=n_pos,
                                missed_rate=missed_rate, multi_rate=multi_rate,
                                class_names=names)
+
+
+def save_results(result: DetectionEvalResult, output_folder: str,
+                 num_examples: int, iou_thresh: float, epoch=None):
+    """Write the run's result files: an append-log ``result_{N}.txt`` and a
+    ``performance_res.npz`` (the reference writes result_N.txt +
+    performance_res.pth, suncg_eval.py:98-126 + save_perform_res)."""
+    import os
+
+    os.makedirs(output_folder, exist_ok=True)
+    path = os.path.join(output_folder, f"result_{num_examples}.txt")
+    with open(path, "a") as f:
+        f.write(f"\n\niou_thresh: {iou_thresh}\n")
+        if epoch is not None:
+            f.write(f"epoch: {epoch}\ndata number: {num_examples}\n")
+        f.write(result.summary() + "\n")
+    np.savez(os.path.join(output_folder, "performance_res.npz"),
+             ap=result.ap, aiou=result.aiou, n_gt=result.n_gt,
+             missed_rate=result.missed_rate, multi_rate=result.multi_rate,
+             class_names=np.array(result.class_names))
+    return path
