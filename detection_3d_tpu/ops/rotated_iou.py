@@ -36,14 +36,20 @@ _BIG = 1e9
 
 def _point_in_quad(px, py, corners):
     """Reference point_in_quadrilateral (nms_gpu.py:310-326): projection test
-    onto edges ab=c1-c0 and ad=c3-c0 with inclusive comparisons."""
-    ab = corners[1] - corners[0]
-    ad = corners[3] - corners[0]
-    ap = jnp.stack([px, py]) - corners[0]
-    abab = ab @ ab
-    abap = ab @ ap
-    adad = ad @ ad
-    adap = ad @ ap
+    onto edges ab=c1-c0 and ad=c3-c0 with inclusive comparisons.
+
+    Written without vector dots: under nested vmap inside the Pallas
+    kernel, `@` lowers to batched dot_general which Mosaic rejects."""
+    abx = corners[1, 0] - corners[0, 0]
+    aby = corners[1, 1] - corners[0, 1]
+    adx = corners[3, 0] - corners[0, 0]
+    ady = corners[3, 1] - corners[0, 1]
+    apx = px - corners[0, 0]
+    apy = py - corners[0, 1]
+    abab = abx * abx + aby * aby
+    abap = abx * apx + aby * apy
+    adad = adx * adx + ady * ady
+    adap = adx * apx + ady * apy
     return (abab >= abap) & (abap >= 0.0) & (adad >= adap) & (adap >= 0.0)
 
 
@@ -54,11 +60,15 @@ def _segment_intersections(c1, c2):
     orientation tests, then the determinant point formula. Returns
     (16, 2) points and (16,) validity.
     """
-    nxt = jnp.array([1, 2, 3, 0])
+    # successor corners via slice+concat (constant-free and gather-free:
+    # pallas/Mosaic rejects captured index arrays and >2D gathers)
+    def _succ(x):
+        return jnp.concatenate([x[1:], x[:1]], axis=0)
+
     a = c1  # (4,2) edge starts of quad 1
-    b = c1[nxt]
+    b = _succ(c1)
     c = c2
-    d = c2[nxt]
+    d = _succ(c2)
 
     A = a[:, None, :]  # (4,1,2)
     B = b[:, None, :]
@@ -109,7 +119,10 @@ def _intersection_area(c1, c2):
 
     n = jnp.sum(valid.astype(jnp.int32))
     denom = jnp.maximum(n, 1).astype(pts.dtype)
-    center = jnp.sum(jnp.where(valid[:, None], pts, 0.0), axis=0) / denom
+    # float mask multiply: a bool[..., None] minor-dim insert is not
+    # lowerable by Mosaic inside the pallas kernel
+    vf = valid.astype(pts.dtype)
+    center = jnp.sum(pts * vf[:, None], axis=0) / denom
 
     v = pts - center
     d = jnp.sqrt(v[:, 0] ** 2 + v[:, 1] ** 2)
@@ -131,9 +144,13 @@ def _intersection_area(c1, c2):
     # shoelace around the centroid: successor = vertex with rank+1 mod n
     nxt = jnp.where(rank + 1 >= n, 0, rank + 1)
     sel = (rank[None, :] == nxt[:, None]) & valid[None, :]
-    vnx = jnp.sum(jnp.where(sel, v[None, :, 0], 0.0), axis=1)
-    vny = jnp.sum(jnp.where(sel, v[None, :, 1], 0.0), axis=1)
-    cross = v[:, 0] * vny - v[:, 1] * vnx
+    # plain slices (v[None, :, 0] mixes newaxis+int = advanced indexing,
+    # which lowers to a gather Mosaic can't handle inside the kernel)
+    v0 = v[:, 0]
+    v1 = v[:, 1]
+    vnx = jnp.sum(jnp.where(sel, v0[None, :], 0.0), axis=1)
+    vny = jnp.sum(jnp.where(sel, v1[None, :], 0.0), axis=1)
+    cross = v0 * vny - v1 * vnx
     area = 0.5 * jnp.abs(jnp.sum(jnp.where(valid, cross, 0.0)))
     return area
 
@@ -171,9 +188,10 @@ def _iou_row(box, qboxes, criterion):
 
 
 @functools.partial(jax.jit, static_argnames=("criterion", "row_block",
-                                             "same_box_fix"))
+                                             "same_box_fix", "impl"))
 def rotated_iou_matrix(boxes, query_boxes, criterion: int = -1,
-                       row_block: int = 64, same_box_fix: bool = True):
+                       row_block: int = 64, same_box_fix: bool = True,
+                       impl: str = "auto"):
     """(N, 5) x (K, 5) -> (N, K) rotated IoU, blocked over rows.
 
     ``boxes`` are the reference's first argument (targets); ``query_boxes``
@@ -182,18 +200,31 @@ def rotated_iou_matrix(boxes, query_boxes, criterion: int = -1,
 
     ``same_box_fix`` replicates check_same_boxes (nms_gpu.py:653-664):
     (near-)identical 5-DoF boxes are forced to IoU 1.
+
+    ``impl``: 'auto' uses the Pallas VMEM-tiled kernel on TPU and the
+    blocked-XLA path elsewhere; 'xla' / 'pallas' force one.
     """
     boxes = jnp.asarray(boxes, jnp.float32)
     query_boxes = jnp.asarray(query_boxes, jnp.float32)
     n = boxes.shape[0]
-    pad = (-n) % row_block
-    padded = jnp.pad(boxes, ((0, pad), (0, 0)), constant_values=1.0)
-    blocks = padded.reshape(-1, row_block, 5)
 
-    def block_fn(blk):
-        return jax.vmap(lambda b: _iou_row(b, query_boxes, criterion))(blk)
+    use_pallas = (impl == "pallas"
+                  or (impl == "auto" and jax.default_backend() == "tpu"))
+    if use_pallas:
+        from detection_3d_tpu.ops.pallas.rotated_iou_kernel import (
+            rotated_iou_matrix_pallas)
+        iou = rotated_iou_matrix_pallas(boxes, query_boxes, criterion)
+    else:
+        pad = (-n) % row_block
+        padded = jnp.pad(boxes, ((0, pad), (0, 0)), constant_values=1.0)
+        blocks = padded.reshape(-1, row_block, 5)
 
-    iou = jax.lax.map(block_fn, blocks).reshape(-1, query_boxes.shape[0])[:n]
+        def block_fn(blk):
+            return jax.vmap(
+                lambda b: _iou_row(b, query_boxes, criterion))(blk)
+
+        iou = jax.lax.map(block_fn, blocks).reshape(
+            -1, query_boxes.shape[0])[:n]
 
     if same_box_fix:
         dif = jnp.abs(boxes[:, None, :] - query_boxes[None, :, :])

@@ -7,12 +7,19 @@ import os
 
 import pytest
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard override: this environment's sitecustomize imports jax and
+# registers the axon TPU plugin before conftest runs, so env-var changes
+# are too late — use jax.config (backends are not yet initialized)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402  (already imported by sitecustomize anyway)
+
+jax.config.update("jax_platforms", "cpu")
 
 
 @pytest.fixture(scope="session", autouse=True)
