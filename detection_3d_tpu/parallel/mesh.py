@@ -76,7 +76,7 @@ def batched_train_step(cfg: Config, model: SparseRCNN, tx, mesh: Mesh):
         specs = jax.tree_util.tree_map(lambda _: batch_spec, batch)
         loss, grads = shard_map(
             sharded, mesh=mesh, in_specs=(P(), specs),
-            out_specs=(P(), P()))(params, batch)
+            out_specs=(P(), P()), check_vma=False)(params, batch)
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         return new_params, new_opt, loss

@@ -1,0 +1,72 @@
+"""Data-parallel training step over a virtual CPU mesh (SURVEY §2.7)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from detection_3d_tpu.config import Config, Sparse3DConfig, CapacityConfig
+from detection_3d_tpu.config.defaults import RPNConfig, ROIConfig
+from detection_3d_tpu.data.synthetic import synthetic_building
+from detection_3d_tpu.engine.solver import make_optimizer
+from detection_3d_tpu.engine.trainer import pad_scene
+from detection_3d_tpu.models.detector import SparseRCNN, voxelize_points
+from detection_3d_tpu.models.structures import Boxes3D
+from detection_3d_tpu.parallel.mesh import make_mesh, batched_train_step
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >=2 devices")
+def test_batched_train_step_dp():
+    import functools
+
+    cfg = Config(
+        classes=("background", "wall", "door", "window"),
+        sparse3d=Sparse3DConfig(
+            voxel_scale=20, voxel_full_scale=(128, 128, 64),
+            nplanes_front=(8, 16, 16, 32),
+            kernels=((2, 2, 2),) * 3, strides=((2, 2, 2),) * 3,
+            nplane_map=16),
+        rpn=RPNConfig(
+            rpn_scales_from_top=(2, 1), rpn_3d_2d_selector=(0, 1, 2),
+            anchor_sizes_3d=((0.2, 0.5, 3), (0.4, 1.5, 3), (0.6, 2.5, 3)),
+            use_yaws=(1, 1, 1),
+            fpn_pre_nms_top_n_train=128, fpn_pre_nms_top_n_test=128,
+            fpn_post_nms_top_n_train=32, fpn_post_nms_top_n_test=32,
+            batch_size_per_image=32),
+        roi=ROIConfig(pooler_scales_from_top=(2, 1),
+                      batch_size_per_image=32, detections_per_img=16,
+                      mlp_head_dim=32),
+        backbone_out_channels=16,
+        caps=CapacityConfig(max_points=4096,
+                            voxel_caps=(2048, 1024, 512, 256), max_gt=8),
+    )
+
+    n_dev = 2
+    mesh = make_mesh(n_dev)
+    scenes = [synthetic_building(seed=i, num_points=2000, room=5.0,
+                                 classes=cfg.classes,
+                                 voxel_scale=cfg.sparse3d.voxel_scale)
+              for i in range(n_dev)]
+    padded = [pad_scene(cfg, s) for s in scenes]
+    batch = {k: jnp.stack([jnp.asarray(p[k]) for p in padded])
+             for k in padded[0]}
+
+    model = SparseRCNN(cfg)
+    rng = jax.random.PRNGKey(0)
+    b0 = padded[0]
+    table0 = voxelize_points(cfg, jnp.asarray(b0["points"]),
+                             jnp.asarray(b0["feats"]),
+                             jnp.asarray(b0["points_valid"]))
+    gt0 = Boxes3D(jnp.asarray(b0["gt_boxes"]), jnp.asarray(b0["gt_valid"]))
+    params = jax.jit(functools.partial(model.init, is_train=True))(
+        rng, table0, gt0, jnp.asarray(b0["gt_labels"]), rng=rng)
+    tx, _ = make_optimizer(cfg, params, iters_per_epoch=1)
+    opt_state = tx.init(params)
+
+    step = batched_train_step(cfg, model, tx, mesh)
+    new_params, new_opt, loss = step(params, opt_state, batch, rng)
+    assert np.isfinite(float(loss))
+    # params actually changed
+    delta = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), params, new_params)
+    assert max(jax.tree_util.tree_leaves(delta)) > 0
