@@ -254,6 +254,23 @@ class Config:
                 "one anchor size / use_yaws entry per SELECTED rpn map")
         assert len(self.rpn.yaws) == len(self.rpn.ratios)
         assert self.sparse3d.num_scales == len(self.sparse3d.strides) + 1
+        # With separate_classes but a single (shared) RPN, groups >= 1
+        # would silently never be trained or predicted — the detector
+        # enumerates one proposal set per group.
+        assert not (self.separate_classes and not self.separate_rpn), (
+            "separate_classes requires separate_rpn=True: a shared RPN "
+            "produces one proposal group, so separated classes would be "
+            "silently dropped")
+        # Honest config surface: reject rather than silently ignore.
+        # Every real reference config runs TRACK_RUNNING_STATS=False
+        # (batch statistics in eval too, configs/6c/*.yaml:43) and eval
+        # parity depends on that; running-stats BN is not implemented.
+        if self.solver.track_running_stats:
+            raise NotImplementedError(
+                "SOLVER.TRACK_RUNNING_STATS=True is not supported: BN "
+                "uses batch statistics in train AND eval (the reference "
+                "runs all real configs with False — "
+                "batchNormalization.py:51-56). Set it to False.")
         return self
 
     def anchor_strides(self):

@@ -33,8 +33,8 @@ def make_predict_fn(cfg: Config, model: Optional[SparseRCNN] = None):
         table = voxelize_points(cfg, batch["points"], batch["feats"],
                                 batch["points_valid"])
         det = model.apply(params, table, is_train=False)
-        return det.boxes, det.valid, det.fields["scores"], \
-            det.fields["labels"]
+        return (det.boxes, det.valid, det.fields["scores"],
+                det.fields["labels"], table.true_num)
 
     return predict
 
@@ -50,11 +50,17 @@ def run_inference(cfg: Config, params, scenes: Iterable[Dict],
     for i, scene in enumerate(scenes):
         batch = {k: jnp.asarray(v) for k, v in pad_scene(cfg, scene).items()}
         t0 = time.time()
-        boxes, valid, scores, labels = predict(params, batch)
+        boxes, valid, scores, labels, true_num = predict(params, batch)
         jax.block_until_ready(boxes)
         dt = time.time() - t0
         if i > 0:  # skip compile iteration in timing
             total_t += dt
+        cap0 = cfg.caps.scale_caps(cfg.sparse3d.num_scales)[0]
+        if int(true_num) > cap0 and logger:
+            logger.warning(
+                "scene %d: %d voxels exceed the scale-0 capacity %d — "
+                "input subsampled (raise caps.voxel_caps / max_points)",
+                i, int(true_num), cap0)
         v = np.asarray(valid)
         preds.append({"boxes": np.asarray(boxes)[v],
                       "scores": np.asarray(scores)[v],

@@ -60,16 +60,55 @@ def pad_scene(cfg: Config, scene: Dict) -> Dict[str, np.ndarray]:
             "gt_boxes": gtb, "gt_labels": gtl, "gt_valid": gvalid}
 
 
+def check_capacities(cfg: Config, scene: Dict, logger=None):
+    """Build the full voxel pyramid for one scene and report per-scale
+    true voxel counts vs the configured static capacities.
+
+    Overflow at any scale means the input layer subsampled voxels (see
+    ops/sparse.py build_sparse_tensor) — detection quality silently
+    degrades, so run this once on a representative scene when choosing
+    ``caps.voxel_caps``. Returns a list of (true_num, capacity) pairs.
+    """
+    from detection_3d_tpu.models.backbone import build_pyramid
+    batch = pad_scene(cfg, scene)
+    table = voxelize_points(cfg, jnp.asarray(batch["points"]),
+                            jnp.asarray(batch["feats"]),
+                            jnp.asarray(batch["points_valid"]))
+    pyr = build_pyramid(table, cfg)
+    out = []
+    for k, t in enumerate(pyr["tables"]):
+        tn, cap = int(t.true_num), t.capacity
+        out.append((tn, cap))
+        if tn > cap and logger:
+            logger.warning(
+                "scale %d: %d active voxels exceed capacity %d "
+                "(subsampled %.0f%%) — raise caps.voxel_caps[%d]",
+                k, tn, cap, 100.0 * (1 - cap / tn), k)
+    return out
+
+
 class Trainer:
+    """Single-device or data-parallel training loop.
+
+    Pass ``mesh`` (a 1-D ``jax.sharding.Mesh`` over a "dp" axis) to train
+    data-parallel: each step consumes ``cfg.solver.ims_per_batch``
+    buildings, sharded over the mesh (vmapped within a device), with
+    pmean gradient reduction — the DDP analogue of the reference
+    (train_net_sparse3d.py:52-57; SURVEY.md section 2.7).
+    """
+
     def __init__(self, cfg: Config, output_dir: Optional[str] = None,
-                 logger=None):
+                 logger=None, mesh=None):
         self.cfg = cfg
         self.model = SparseRCNN(cfg)
+        self.mesh = mesh
         self.logger = logger
         self.output_dir = output_dir or cfg.output_dir
         self.checkpointer = Checkpointer(self.output_dir, logger)
         self.meters = MetricLogger()
         self.min_loss = float("inf")
+        self.min_save_every = 50
+        self._last_min_save = -(10 ** 9)
         self._step_fn = None
         self._tx = None
 
@@ -100,6 +139,7 @@ class Trainer:
         def train_step(state: TrainState, batch, rng):
             table = voxelize_points(cfg, batch["points"], batch["feats"],
                                     batch["points_valid"])
+            true_num = table.true_num
             gt = Boxes3D(batch["gt_boxes"], batch["gt_valid"])
 
             def loss_fn(params):
@@ -118,14 +158,86 @@ class Trainer:
                 lambda a, g: a & jnp.all(jnp.isfinite(g)), grads,
                 jnp.bool_(True))
             ok = jnp.isfinite(total) & grads_ok
-            grads = jax.tree_util.tree_map(
-                lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
             updates, new_opt = tx.update(grads, state.opt_state,
                                          state.params)
             new_params = optax.apply_updates(state.params, updates)
+            # Gate the WHOLE transition on ok: on a non-finite step
+            # neither params nor momentum/wd buffers move — the
+            # reference skips optimizer.step() entirely
+            # (trainer_sparse3d.py:86-91).
+            keep = lambda n, o: jnp.where(ok, n, o)
+            new_params = jax.tree_util.tree_map(keep, new_params,
+                                                state.params)
+            new_opt = jax.tree_util.tree_map(keep, new_opt,
+                                             state.opt_state)
             new_state = TrainState(params=new_params, opt_state=new_opt,
                                    step=state.step + 1)
-            return new_state, total, losses, ok
+            return new_state, total, losses, ok, true_num
+
+        return train_step
+
+    def _build_batched_step(self):
+        """DP train step: batch leaves (B, ...) sharded over the mesh's
+        dp axis, vmap over the local buildings, pmean gradients."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        model, cfg, tx, mesh = self.model, self.cfg, self._tx, self.mesh
+
+        def building_loss(params, batch, rng):
+            table = voxelize_points(cfg, batch["points"], batch["feats"],
+                                    batch["points_valid"])
+            gt = Boxes3D(batch["gt_boxes"], batch["gt_valid"])
+            losses, _ = model.apply(params, table, gt, batch["gt_labels"],
+                                    is_train=True, rng=rng)
+            return (sum(jax.tree_util.tree_leaves(losses)),
+                    (losses, table.true_num))
+
+        def local_loss(params, batch, rng):
+            # decorrelate sampling randomness across dp shards
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
+            b = batch["points"].shape[0]
+            keys = jax.random.split(rng, b)
+            totals, (losses, tns) = jax.vmap(
+                lambda bt, k: building_loss(params, bt, k),
+                in_axes=(0, 0))(batch, keys)
+            return jnp.mean(totals), (
+                jax.tree_util.tree_map(jnp.mean, losses), jnp.max(tns))
+
+        @jax.jit
+        def train_step(state: TrainState, batch, rng):
+            def sharded(params, batch):
+                (total, (losses, tn)), grads = jax.value_and_grad(
+                    local_loss, has_aux=True)(params, batch, rng)
+                # DP gradient all-reduce over ICI — the NCCL/DDP
+                # analogue (SURVEY.md section 2.7)
+                grads = jax.lax.pmean(grads, "dp")
+                total = jax.lax.pmean(total, "dp")
+                losses = jax.lax.pmean(losses, "dp")
+                tn = jax.lax.pmax(tn, "dp")
+                return total, losses, tn, grads
+
+            specs = jax.tree_util.tree_map(lambda _: P("dp"), batch)
+            total, losses, true_num, grads = shard_map(
+                sharded, mesh=mesh, in_specs=(P(), specs),
+                out_specs=(P(), P(), P(), P()), check_vma=False)(
+                    state.params, batch)
+
+            grads_ok = jax.tree_util.tree_reduce(
+                lambda a, g: a & jnp.all(jnp.isfinite(g)), grads,
+                jnp.bool_(True))
+            ok = jnp.isfinite(total) & grads_ok
+            updates, new_opt = tx.update(grads, state.opt_state,
+                                         state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            keep = lambda n, o: jnp.where(ok, n, o)
+            new_params = jax.tree_util.tree_map(keep, new_params,
+                                                state.params)
+            new_opt = jax.tree_util.tree_map(keep, new_opt,
+                                             state.opt_state)
+            new_state = TrainState(params=new_params, opt_state=new_opt,
+                                   step=state.step + 1)
+            return new_state, total, losses, ok, true_num
 
         return train_step
 
@@ -136,21 +248,50 @@ class Trainer:
         cfg = self.cfg
         scenes = list(scenes)
         if self._step_fn is None:
-            self._step_fn = self._build_step()
+            self._step_fn = (self._build_batched_step()
+                             if self.mesh is not None
+                             else self._build_step())
+        bsz = 1
+        if self.mesh is not None:
+            dp = int(np.prod(self.mesh.devices.shape))
+            bsz = max(cfg.solver.ims_per_batch, dp)
+            assert bsz % dp == 0, (
+                f"ims_per_batch {bsz} not divisible by dp size {dp}")
         ckpt_period = checkpoint_period_epochs or \
             cfg.solver.checkpoint_period_epochs
         rng = jax.random.PRNGKey(seed + 123)
 
         it = 0
         t_start = time.time()
+        shuffle_rng = np.random.default_rng(seed + 77)
+        steps_per_epoch = -(-len(scenes) // bsz)
         for epoch in range(epochs):
-            for scene in scenes:
-                batch = {k: jnp.asarray(v)
-                         for k, v in pad_scene(cfg, scene).items()}
+            # per-epoch shuffle (reference: DataLoader shuffle=True on
+            # train, data3d/data.py:36)
+            order = list(shuffle_rng.permutation(len(scenes)))
+            if len(order) % bsz:  # cycle-pad the final batch
+                order += order[:bsz - len(order) % bsz]
+            for bstart in range(0, len(order), bsz):
+                group = [scenes[i] for i in order[bstart:bstart + bsz]]
+                padded = [pad_scene(cfg, s) for s in group]
+                if self.mesh is None:
+                    batch = {k: jnp.asarray(v)
+                             for k, v in padded[0].items()}
+                else:
+                    batch = {k: jnp.asarray(
+                        np.stack([p[k] for p in padded]))
+                        for k in padded[0]}
                 rng, key = jax.random.split(rng)
                 t0 = time.time()
-                state, total, losses, ok = self._step_fn(state, batch, key)
+                state, total, losses, ok, true_num = self._step_fn(
+                    state, batch, key)
                 total = float(total)
+                cap0 = cfg.caps.scale_caps(cfg.sparse3d.num_scales)[0]
+                if int(true_num) > cap0 and self.logger:
+                    self.logger.warning(
+                        "iter %d: %d voxels exceed scale-0 capacity %d — "
+                        "input subsampled (raise caps)", it, int(true_num),
+                        cap0)
                 self.meters.update(loss=total, time=time.time() - t0,
                                    **{k: float(v) for k, v in losses.items()})
                 if not bool(ok) and self.logger:
@@ -158,18 +299,24 @@ class Trainer:
                                         "update skipped", it)
                 if self.logger and it % 20 == 0:
                     eta = (time.time() - t_start) / (it + 1) * \
-                        (epochs * len(scenes) - it - 1)
+                        (epochs * steps_per_epoch - it - 1)
                     self.logger.info(
                         "iter %d epoch %d eta %.0fs lr %.5f %s", it, epoch,
                         eta, float(self.lr_fn(int(state.step))), self.meters)
-                # min-loss checkpoint (trainer_sparse3d.py:145-150)
+                # min-loss checkpoint (trainer_sparse3d.py:145-150).
+                # Track the minimum every step but serialize at most once
+                # per `min_save_every` iterations — early training makes a
+                # new (noisy) minimum nearly every step, and a full
+                # msgpack write per step stalls the device loop.
                 if total < self.min_loss and np.isfinite(total):
                     self.min_loss = total
-                    self.checkpointer.save(
-                        "model_min_loss",
-                        {"params": state.params,
-                         "opt_state": state.opt_state,
-                         "step": state.step})
+                    if it - self._last_min_save >= self.min_save_every:
+                        self._last_min_save = it
+                        self.checkpointer.save(
+                            "model_min_loss",
+                            {"params": state.params,
+                             "opt_state": state.opt_state,
+                             "step": state.step})
                 it += 1
             if (epoch + 1) % ckpt_period == 0:
                 self.checkpointer.save(

@@ -77,6 +77,25 @@ class SparseRCNN(nn.Module):
         results = []
         nc_total = cfg.num_classes + len(cfg.separate_classes)
 
+        if cfg.rpn_only:
+            # RPN-only models have no roi_heads (sparse_rcnn.py:64-68);
+            # proposals ARE the final output, returned in high-to-low
+            # confidence order with class-agnostic foreground labels
+            # (rpn_sparse3d.py:294-305).
+            if is_train:
+                return losses, proposals_g
+            dets = []
+            for p in proposals_g:
+                score = jnp.where(p.valid, p.fields["objectness"], -jnp.inf)
+                order = jnp.argsort(-score)
+                p = p.gather(order)
+                dets.append(p.with_fields(
+                    scores=p.fields["objectness"],
+                    labels=jnp.ones((p.capacity,), jnp.int32)))
+            if g == 1:
+                return dets[0]
+            return merge_group_detections(cfg, dets)
+
         roi_head = ROIBoxHead(cfg, name="roi_head")
         for gi, proposals in enumerate(proposals_g):
             if is_train and gt_groups is not None:

@@ -31,7 +31,7 @@ from detection_3d_tpu.models.structures import Boxes3D
 from detection_3d_tpu.ops.box_coder import BoxCoder3D
 from detection_3d_tpu.ops.geometry import yx_zb_to_standard
 from detection_3d_tpu.ops.rotated_iou import boxes_iou_3d
-from detection_3d_tpu.ops.nms import nms_from_iou
+from detection_3d_tpu.ops.nms import nms_boxes as nms_boxes_fn
 from detection_3d_tpu.ops.norm import batch_norm_leaky_relu
 from detection_3d_tpu.ops.roi_align import roi_align_rotated_sparse
 from detection_3d_tpu.ops.sparse import SparseTensor
@@ -216,10 +216,8 @@ def postprocess(cfg: Config, proposals: Boxes3D, class_logits,
         valid_j = proposals.valid & (scores_j > cfg.roi.score_thresh)
         nms_boxes = boxes_j.at[:, 3:5].set(jnp.maximum(boxes_j[:, 3:5], ay))
         nms_boxes = nms_boxes.at[:, 5].set(jnp.maximum(nms_boxes[:, 5], az))
-        iou = boxes_iou_3d(nms_boxes, nms_boxes, aug_thickness=None,
-                           criterion=-1)
-        keep_idx, _ = nms_from_iou(iou, scores_j, valid_j, cfg.roi.nms,
-                                   post_cap)
+        keep_idx, _ = nms_boxes_fn(nms_boxes, scores_j, valid_j,
+                                   cfg.roi.nms, post_cap)
         kept = Boxes3D(boxes_j, valid_j,
                        {"scores": scores_j}).gather(keep_idx)
         return kept.boxes, kept.fields["scores"], kept.valid

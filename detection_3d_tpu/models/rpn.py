@@ -30,7 +30,7 @@ from detection_3d_tpu.models.structures import Boxes3D, concat_boxes
 from detection_3d_tpu.ops.box_coder import BoxCoder3D
 from detection_3d_tpu.ops.geometry import limit_period
 from detection_3d_tpu.ops.rotated_iou import boxes_iou_3d
-from detection_3d_tpu.ops.nms import nms_from_iou
+from detection_3d_tpu.ops.nms import nms_boxes
 from detection_3d_tpu.ops.sparse import SparseTensor
 
 
@@ -159,8 +159,7 @@ def select_proposals(cfg: Config, anchors: Boxes3D, objectness, box_reg,
 
 
 def _nms(boxes, scores, valid, thresh, post_n):
-    iou = boxes_iou_3d(boxes, boxes, aug_thickness=None, criterion=-1)
-    return nms_from_iou(iou, scores, valid, thresh, post_n)
+    return nms_boxes(boxes, scores, valid, thresh, post_n)
 
 
 class RPN(nn.Module):

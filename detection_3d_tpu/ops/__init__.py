@@ -12,4 +12,4 @@ from detection_3d_tpu.ops.rotated_iou import (
     rotated_iou_matrix,
     boxes_iou_3d,
 )
-from detection_3d_tpu.ops.nms import nms_from_iou, rotate_nms_3d
+from detection_3d_tpu.ops.nms import nms_boxes, nms_from_iou, rotate_nms_3d

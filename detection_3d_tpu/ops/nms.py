@@ -23,6 +23,54 @@ import jax.numpy as jnp
 from detection_3d_tpu.ops.rotated_iou import boxes_iou_3d
 
 
+def _greedy_suppress(iou_o, valid_o, iou_threshold: float,
+                     post_max_size: int):
+    """Greedy pass over an IoU matrix ALREADY in score-descending order.
+
+    Returns (keep_pos (post_max_size,) positions into the sorted order,
+    padded -1; keep_count)."""
+    n = valid_o.shape[0]
+
+    def body(i, suppressed):
+        alive = ~suppressed[i]
+        row = (iou_o[i] > iou_threshold) & alive & (jnp.arange(n) > i)
+        return suppressed | row
+
+    suppressed = jax.lax.fori_loop(0, n, body, ~valid_o)
+    kept = ~suppressed
+    rank = jnp.cumsum(kept.astype(jnp.int32)) - 1
+    keep_pos = jnp.full((post_max_size,), -1, jnp.int32)
+    src = jnp.where(kept, rank, post_max_size)
+    keep_pos = keep_pos.at[jnp.clip(src, max=post_max_size)].set(
+        jnp.where(kept, jnp.arange(n), -1).astype(jnp.int32), mode="drop")
+    keep_count = jnp.minimum(jnp.sum(kept.astype(jnp.int32)), post_max_size)
+    return keep_pos, keep_count
+
+
+def nms_boxes(boxes, scores, valid, iou_threshold: float,
+              post_max_size: int, row_block: int = 64):
+    """Sort-then-IoU greedy NMS — the preferred entry point.
+
+    Sorting the (N, 7) boxes BEFORE building the IoU matrix means the
+    matrix is computed directly in iteration order: no (N, N) permutation
+    gather (``iou[order][:, order]`` materializes a second full matrix —
+    real HBM traffic at 2000^2 x levels x classes).
+
+    Returns (keep_idx into the ORIGINAL order, padded -1; keep_count).
+    """
+    neg_inf = jnp.finfo(scores.dtype).min
+    order = jnp.argsort(jnp.where(valid, scores, neg_inf), descending=True)
+    boxes_o = boxes[order]
+    valid_o = valid[order]
+    iou_o = boxes_iou_3d(boxes_o, boxes_o, aug_thickness=None, criterion=-1,
+                         row_block=row_block)
+    keep_pos, keep_count = _greedy_suppress(iou_o, valid_o, iou_threshold,
+                                            post_max_size)
+    keep_idx = jnp.where(keep_pos >= 0, order[jnp.clip(keep_pos, 0)],
+                         -1).astype(jnp.int32)
+    return keep_idx, keep_count
+
+
 def nms_from_iou(iou, scores, valid, iou_threshold: float, post_max_size: int):
     """Greedy NMS given a full IoU matrix.
 
@@ -38,27 +86,14 @@ def nms_from_iou(iou, scores, valid, iou_threshold: float, post_max_size: int):
         (score-descending kept boxes first), padded with -1;
       keep_count: scalar int32.
     """
-    n = scores.shape[0]
     neg_inf = jnp.finfo(scores.dtype).min
     order = jnp.argsort(jnp.where(valid, scores, neg_inf), descending=True)
     iou_o = iou[order][:, order]
     valid_o = valid[order]
-
-    def body(i, suppressed):
-        alive = ~suppressed[i]
-        row = (iou_o[i] > iou_threshold) & alive & (jnp.arange(n) > i)
-        return suppressed | row
-
-    suppressed = jax.lax.fori_loop(0, n, body, ~valid_o)
-    kept = ~suppressed
-
-    # rank kept boxes by their (sorted) position; take first post_max_size
-    rank = jnp.cumsum(kept.astype(jnp.int32)) - 1
-    keep_idx = jnp.full((post_max_size,), -1, jnp.int32)
-    src = jnp.where(kept, rank, post_max_size)  # overflow rows -> dropped
-    keep_idx = keep_idx.at[jnp.clip(src, max=post_max_size)].set(
-        jnp.where(kept, order, -1).astype(jnp.int32), mode="drop")
-    keep_count = jnp.minimum(jnp.sum(kept.astype(jnp.int32)), post_max_size)
+    keep_pos, keep_count = _greedy_suppress(iou_o, valid_o, iou_threshold,
+                                            post_max_size)
+    keep_idx = jnp.where(keep_pos >= 0, order[jnp.clip(keep_pos, 0)],
+                         -1).astype(jnp.int32)
     return keep_idx, keep_count
 
 
@@ -72,6 +107,5 @@ def rotate_nms_3d(boxes, scores, valid, iou_threshold: float,
     reference's pre_max_size topk, box_torch_ops.py:495-499) so N is static.
     Returns (keep_idx (post_max_size,), keep_count).
     """
-    iou = boxes_iou_3d(boxes, boxes, aug_thickness=None, criterion=-1,
-                       row_block=row_block)
-    return nms_from_iou(iou, scores, valid, iou_threshold, post_max_size)
+    return nms_boxes(boxes, scores, valid, iou_threshold, post_max_size,
+                     row_block=row_block)

@@ -44,7 +44,7 @@ class SparseTensor:
     """
 
     def __init__(self, coords, feats, hi, lo, num, spatial_size, batch_size,
-                 dense_grid=None):
+                 dense_grid=None, true_num=None):
         self.coords = coords
         self.feats = feats
         self.hi = hi
@@ -53,20 +53,23 @@ class SparseTensor:
         self.spatial_size = tuple(int(s) for s in spatial_size)
         self.batch_size = int(batch_size)
         self.dense_grid = dense_grid
+        # pre-truncation voxel count: > capacity means the input layer had
+        # to subsample (overflow signal for the trainer/inference loops)
+        self.true_num = num if true_num is None else true_num
 
     # -- pytree protocol ---------------------------------------------------
     def tree_flatten(self):
         children = (self.coords, self.feats, self.hi, self.lo, self.num,
-                    self.dense_grid)
+                    self.dense_grid, self.true_num)
         aux = (self.spatial_size, self.batch_size)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        coords, feats, hi, lo, num, dense_grid = children
+        coords, feats, hi, lo, num, dense_grid, true_num = children
         spatial_size, batch_size = aux
         return cls(coords, feats, hi, lo, num, spatial_size, batch_size,
-                   dense_grid)
+                   dense_grid, true_num)
 
     def with_dense_grid(self, max_entries: int = 1 << 26):
         """Attach a dense (X*Y*Z*B,) row-index grid when affordable."""
@@ -81,7 +84,7 @@ class SparseTensor:
             jnp.arange(self.capacity, dtype=jnp.int32), mode="drop")
         return SparseTensor(self.coords, self.feats, self.hi, self.lo,
                             self.num, self.spatial_size, self.batch_size,
-                            grid)
+                            grid, self.true_num)
 
     def _flat_index(self, coords):
         X, Y, Z = self.spatial_size
@@ -104,7 +107,7 @@ class SparseTensor:
     def with_feats(self, feats):
         return SparseTensor(self.coords, feats, self.hi, self.lo, self.num,
                             self.spatial_size, self.batch_size,
-                            self.dense_grid)
+                            self.dense_grid, self.true_num)
 
     def lookup(self, coords, valid=None):
         """Find rows for query coords (..., 4). Returns (idx, found)."""
@@ -148,11 +151,21 @@ def build_sparse_tensor(coords, feats, valid, spatial_size, batch_size,
     hi, lo, coords_s, feats_s = lex_sort(hi, lo, coords, feats)
     seg_id, is_first, num_vox = unique_consecutive_segments(hi, lo)
 
-    seg_id_c = jnp.minimum(seg_id, capacity - 1)
-    ones = (hi != INVALID).astype(feats.dtype)
+    # Capacity overflow: keep every k-th segment (k = ceil(num/cap))
+    # instead of the first `capacity` ones. Keys are spatially ordered, so
+    # a sorted-suffix drop would lose one corner of the building; the
+    # stride keeps coverage spatially uniform. ``true_num`` carries the
+    # pre-truncation count so callers can surface the overflow.
+    stride = jnp.maximum((num_vox + capacity - 1) // capacity, 1)
+    keep = (seg_id % stride) == 0
+    slot = seg_id // stride
+    row_on = (hi != INVALID) & keep
+
+    seg_id_c = jnp.minimum(slot, capacity - 1)
+    ones = row_on.astype(feats.dtype)
     if reduce == "max":
         out_feats = jax.ops.segment_max(
-            jnp.where((hi != INVALID)[:, None], feats_s,
+            jnp.where(row_on[:, None], feats_s,
                       jnp.finfo(feats.dtype).min),
             seg_id_c, num_segments=capacity)
         out_feats = jnp.where(jnp.isfinite(out_feats), out_feats, 0.0)
@@ -167,7 +180,7 @@ def build_sparse_tensor(coords, feats, valid, spatial_size, batch_size,
 
     # representative coords/keys per segment (first occurrence)
     first_idx = jax.ops.segment_min(
-        jnp.where(hi != INVALID, jnp.arange(n), n), seg_id_c,
+        jnp.where(row_on, jnp.arange(n), n), seg_id_c,
         num_segments=capacity)
     in_range = first_idx < n
     gather_idx = jnp.minimum(first_idx, n - 1)
@@ -175,14 +188,14 @@ def build_sparse_tensor(coords, feats, valid, spatial_size, batch_size,
     out_hi = jnp.where(in_range, hi[gather_idx], INVALID)
     out_lo = jnp.where(in_range, lo[gather_idx], INVALID)
 
-    num = jnp.minimum(num_vox, capacity)
+    num = jnp.minimum((num_vox + stride - 1) // stride, capacity)
     row_ok = jnp.arange(capacity) < num
     out_feats = jnp.where(row_ok[:, None], out_feats, 0.0)
     out_coords = jnp.where(row_ok[:, None], out_coords, INVALID)
     out_hi = jnp.where(row_ok, out_hi, INVALID)
     out_lo = jnp.where(row_ok, out_lo, INVALID)
     return SparseTensor(out_coords, out_feats, out_hi, out_lo, num,
-                        spatial_size, batch_size)
+                        spatial_size, batch_size, true_num=num_vox)
 
 
 def submanifold_offsets(kernel: Tuple[int, int, int]):

@@ -57,6 +57,10 @@ def batched_train_step(cfg: Config, model: SparseRCNN, tx, mesh: Mesh):
     batch_spec = P("dp")
 
     def local_loss(params, batch, rng):
+        # Decorrelate randomness across dp shards: without the fold_in
+        # every device would split the SAME key, making balanced pos/neg
+        # sampling identical on all shards.
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
         # batch leaves: (local_B, ...) -> vmap buildings
         b = batch["points"].shape[0]
         keys = jax.random.split(rng, b)

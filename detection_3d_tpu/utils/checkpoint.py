@@ -48,7 +48,7 @@ class Checkpointer:
         with open(path, "wb") as f:
             f.write(data)
         with open(self._tag_file(), "w") as f:
-            f.write(path)
+            f.write(os.path.basename(path))
         if self.logger:
             self.logger.info("Saved checkpoint to %s", path)
         return path
@@ -58,7 +58,19 @@ class Checkpointer:
         """Restore into the shape of ``template``. Auto-resume beats the
         explicit path (checkpoint.py:32-47 semantics)."""
         if self.has_checkpoint():
-            path = self.get_checkpoint_file()
+            resume = self.get_checkpoint_file()
+            # tag stores a basename; resolve against save_dir so moving
+            # the output dir does not break resume (absolute paths kept
+            # for backward compatibility with older tags)
+            if not os.path.isabs(resume):
+                resume = os.path.join(self.save_dir, resume)
+            if path and self.logger and os.path.abspath(path) != \
+                    os.path.abspath(resume):
+                self.logger.warning(
+                    "auto-resume from %s overrides explicitly requested "
+                    "weights %s (delete the last_checkpoint tag to force "
+                    "the explicit path)", resume, path)
+            path = resume
         if not path or not os.path.exists(path):
             if self.logger:
                 self.logger.info("No checkpoint found; starting fresh")

@@ -122,3 +122,36 @@ def test_train_grad_step_decreases_loss(scene):
     p2 = jax.tree_util.tree_map(lambda p, gg: p - lr * gg, params, g)
     l1 = total_loss(p2, key)
     assert float(l1) < float(l0)
+
+
+def test_rpn_only_mode(scene):
+    """cfg.rpn_only: no roi_heads — train returns only RPN losses,
+    eval returns proposals as score-sorted class-agnostic detections
+    (sparse_rcnn.py:64-68, rpn_sparse3d.py:294-305)."""
+    cfg = tiny_cfg(rpn_only=True).validate()
+    model = SparseRCNN(cfg)
+    table, gt, gtl = prep(cfg, scene)
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(
+        lambda r: model.init(r, table, gt, gtl, is_train=True, rng=r))(rng)
+    losses, _ = jax.jit(
+        lambda p, r: model.apply(p, table, gt, gtl, is_train=True, rng=r)
+    )(params, rng)
+    assert set(losses) == {"loss_objectness", "loss_rpn_box_reg"}
+
+    det = jax.jit(lambda p: model.apply(p, table, is_train=False))(params)
+    s = np.asarray(det.fields["scores"])
+    v = np.asarray(det.valid)
+    assert v.any()
+    sv = s[v]
+    assert np.all(np.diff(sv) <= 1e-6)  # high-to-low confidence order
+    assert np.all(np.asarray(det.fields["labels"])[v] == 1)
+
+
+def test_config_validate_rejects_silent_noops():
+    with pytest.raises(AssertionError):
+        tiny_cfg(separate_classes=(("door",),),
+                 separate_rpn=False).validate()
+    from detection_3d_tpu.config.defaults import SolverConfig
+    with pytest.raises(NotImplementedError):
+        tiny_cfg(solver=SolverConfig(track_running_stats=True)).validate()

@@ -218,3 +218,25 @@ def test_dense_grid_respects_budget():
     t = make_table(coords, feats, (64, 64, 64))
     assert t.with_dense_grid(max_entries=1000).dense_grid is None
     assert t.with_dense_grid(max_entries=1 << 20).dense_grid is not None
+
+
+def test_capacity_overflow_strided_unbiased():
+    """Over-capacity input: true_num reports the real count and the kept
+    voxels cover the WHOLE key range (strided drop, not sorted-suffix)."""
+    n = 64
+    xs = np.arange(n, dtype=np.int32)
+    coords = np.stack([xs, np.zeros_like(xs), np.zeros_like(xs),
+                       np.zeros_like(xs)], axis=-1)
+    feats = xs[:, None].astype(np.float32)
+    cap = 16
+    t = build_sparse_tensor(jnp.array(coords), jnp.array(feats),
+                            jnp.ones((n,), bool), (64, 4, 4), 1, cap)
+    assert int(t.true_num) == n          # pre-truncation count signals
+    assert int(t.num) == cap             # exactly ceil(64/4) kept
+    kept_x = np.asarray(t.coords[: int(t.num), 0])
+    # every 4th voxel kept: spatially uniform coverage of [0, 64)
+    np.testing.assert_array_equal(kept_x, np.arange(0, 64, 4))
+    # under capacity: true_num == num, nothing dropped
+    t2 = build_sparse_tensor(jnp.array(coords), jnp.array(feats),
+                             jnp.ones((n,), bool), (64, 4, 4), 1, 128)
+    assert int(t2.true_num) == int(t2.num) == n

@@ -96,7 +96,7 @@ def main():
         def body(carry, i):
             st, key = carry
             key, sub = jax.random.split(key)
-            st, total, _, _ = step_fn(st, batch, sub)
+            st, total, _, _, _ = step_fn(st, batch, sub)
             return (st, key), total
         (state, _), totals = jax.lax.scan(body, (state, rng),
                                           jnp.arange(_k))
