@@ -41,6 +41,50 @@ def voc_ap_07(prec, rec):
     return ap
 
 
+def match_predictions_to_gt(iou: np.ndarray, iou_thresh: float):
+    """Greedy matching for ONE (example, class) — suncg_eval.py:815-845.
+
+    Args:
+      iou: (n_gt, n_pred) with predictions in score-DESCENDING order.
+    Returns:
+      match: (n_pred,) int8 — 1 TP (first pred per gt in score order),
+        0 FP;
+      best_iou: (n_pred,) max IoU per pred over all gts (recorded even
+        for unmatched preds — feeds the curve's iou column / predious);
+      gt_index: (n_pred,) matched gt or -1.
+    """
+    gt_index = iou.argmax(axis=0)
+    best_iou = iou.max(axis=0)
+    gt_index = np.where(best_iou < iou_thresh, -1, gt_index)
+    selec = np.zeros(iou.shape[0], bool)
+    match = np.zeros(iou.shape[1], np.int8)
+    for pi in range(len(gt_index)):
+        gi = gt_index[pi]
+        if gi >= 0:
+            match[pi] = 0 if selec[gi] else 1
+            selec[gi] = True
+    return match, best_iou, gt_index
+
+
+def accumulate_prec_rec(scores, match, ious, n_pos: int):
+    """Pool per-example matches of one class into global curves
+    (suncg_eval.py:854-885): sort by score desc, cumulative TP/FP.
+
+    Returns (prec, rec, scores_sorted, ious_sorted)."""
+    scores = np.asarray(scores, np.float64)
+    match = np.asarray(match)
+    ious = np.asarray(ious, np.float64)
+    order = np.argsort(-scores, kind="stable")
+    scores_s = scores[order]
+    match_s = match[order]
+    ious_s = ious[order]
+    tp = np.cumsum(match_s == 1)
+    fp = np.cumsum(match_s == 0)
+    prec = tp / (tp + fp)
+    rec = tp / n_pos if n_pos > 0 else tp * np.nan
+    return prec, rec, scores_s, ious_s
+
+
 @dataclasses.dataclass
 class DetectionEvalResult:
     ap: np.ndarray            # (num_classes,) — slot 0 = mean over fg
@@ -102,18 +146,9 @@ def evaluate_detections(predictions: List[Dict], groundtruths: List[Dict],
             iou = np.asarray(boxes_iou_3d(
                 gb[gm].astype(np.float32), boxes_l.astype(np.float32),
                 aug_thickness=eval_aug_thickness, criterion=-1))
-            gt_index = iou.argmax(axis=0)
-            best_iou = iou.max(axis=0)
-            gt_index = np.where(best_iou < iou_thresh, -1, gt_index)
-
-            selec = np.zeros(gm.sum(), bool)
-            for pi in range(len(gt_index)):
-                gi = gt_index[pi]
-                if gi >= 0:
-                    match_acc[l].append(0 if selec[gi] else 1)
-                    selec[gi] = True
-                else:
-                    match_acc[l].append(0)
+            match, best_iou, gt_index = match_predictions_to_gt(
+                iou, iou_thresh)
+            match_acc[l].extend(match)
 
             # AIoU bookkeeping: per gt, the highest-score matched pred
             pred_count = np.zeros(gm.sum(), np.int64)
@@ -134,14 +169,9 @@ def evaluate_detections(predictions: List[Dict], groundtruths: List[Dict],
     for l in range(1, num_classes):
         if len(score_acc[l]) == 0 or n_pos[l] == 0:
             continue
-        scores_l = np.array(score_acc[l])
-        match_l = np.array(match_acc[l])
-        order = np.argsort(-scores_l, kind="stable")
-        match_l = match_l[order]
-        tp = np.cumsum(match_l == 1)
-        fp = np.cumsum(match_l == 0)
-        prec = tp / np.maximum(tp + fp, 1)
-        rec = tp / n_pos[l]
+        prec, rec, _, _ = accumulate_prec_rec(
+            score_acc[l], match_acc[l], np.zeros(len(score_acc[l])),
+            int(n_pos[l]))
         ap[l] = voc_ap_07(prec, rec)
         if good_ious[l]:
             aiou[l] = float(np.mean(good_ious[l]))
