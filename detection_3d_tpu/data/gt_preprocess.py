@@ -452,3 +452,152 @@ def make_ceiling_floor(walls, thickness: float = 0.12):
     ceiling = np.array([[cx, cy, mx[2] - thickness / 2, sx, sy, thickness,
                          0]])
     return define_walls_direction(ceiling), define_walls_direction(floor)
+
+
+# ---- per-room ceiling/floor validation (preprocess_cfr) -------------------
+# Re-derivation of /root/reference/data3d/suncg_utils/
+# celing_floor_room_preprocessing.py:8-200: SUNCG rooms come with one
+# ceiling/floor slab each; a candidate is kept when it (a) is not a
+# duplicate, (b) does not cover more than one other candidate (multi-room
+# envelope slabs are rejected), and (c) is supported by >= 3 edge walls
+# (or 2 walls that each touch with both corners AND centroid).
+
+
+def _box_corners_2d(box):
+    """(4, 3) xy corners at z=0 of a standard box."""
+    c, s = np.cos(box[6]), np.sin(box[6])
+    R = np.array([[c, s], [-s, c]])
+    half = np.array([[0.5, 0.5], [0.5, -0.5], [-0.5, -0.5], [-0.5, 0.5]])
+    xy = (half * box[3:5]) @ R + box[:2]
+    out = np.zeros((4, 3))
+    out[:, :2] = xy
+    return out
+
+
+def _point_to_segment_info(points, line):
+    """For (n,3) points vs one segment (2,3): (perp_dis, on_segment)."""
+    a, b = line[0][:2], line[1][:2]
+    ab = b - a
+    nrm = np.linalg.norm(ab)
+    p = points[:, :2]
+    if nrm < 1e-9:
+        d = np.linalg.norm(p - a, axis=1)
+        return d, d
+    perp = np.abs((p - a)[:, 0] * ab[1] - (p - a)[:, 1] * ab[0]) / nrm
+    t = ((p - a) @ ab) / (nrm * nrm)
+    end_dis = np.minimum(np.linalg.norm(p - a, axis=1),
+                         np.linalg.norm(p - b, axis=1))
+    return perp, np.where((t >= 0) & (t <= 1), 0.0, end_dis)
+
+
+def points_in_lines(points, lines, threshold_dis=0.03):
+    """(n, m) bool: point lies ON segment (within threshold_dis) —
+    geometric_util.points_in_lines semantics (perpendicular distance AND
+    inside the segment extent or within threshold of an endpoint)."""
+    n, m = points.shape[0], lines.shape[0]
+    out = np.zeros((n, m), bool)
+    for j in range(m):
+        perp, extent = _point_to_segment_info(points, lines[j])
+        out[:, j] = (perp < threshold_dis) & (extent < threshold_dis)
+    return out
+
+
+def is_extend_lines(lines0, lines1, threshold_dis=0.03):
+    """(n, m) bool: both endpoints of line i within threshold of the
+    infinite line through line j (collinear) —
+    geometric_util.is_extend_lines."""
+    n, m = lines0.shape[0], lines1.shape[0]
+    out = np.zeros((n, m), bool)
+    for i in range(n):
+        for j in range(m):
+            d0 = vertical_dis_point_line(lines0[i, 0], lines1[j])
+            d1 = vertical_dis_point_line(lines0[i, 1], lines1[j])
+            out[i, j] = (d0 < threshold_dis) and (d1 < threshold_dis)
+    return out
+
+
+def _clean_repeat_cfr(ceilings):
+    """Drop near-duplicate candidates (cen < 0.1 m, rel size < 0.1,
+    yaw < 0.1) — celing_floor_room_preprocessing.clean_repeat."""
+    n = ceilings.shape[0]
+    keep = [0]
+    for i in range(1, n):
+        dup = False
+        for j in keep:
+            dif = ceilings[i] - ceilings[j]
+            ref = max(ceilings[i, 3:6].max(), ceilings[j, 3:6].max())
+            if (np.linalg.norm(dif[:3]) < 0.1
+                    and np.abs(dif[3:6]).max() / max(ref, 1e-9) < 0.1
+                    and abs(dif[6]) < 0.1):
+                dup = True
+                break
+        if not dup:
+            keep.append(i)
+    return ceilings[keep], np.array(keep, np.int64)
+
+
+def _edge_wall_count(wall_cenlines, ceiling):
+    """#edge walls of a ceiling + per-wall in_state
+    (celing_floor_room_preprocessing.is_edge_wall_of_ceiling): an edge
+    wall has >= 2 of its 3 probe points (2 corners + centroid) on one of
+    the ceiling's 4 boundary edges; collinear duplicates count once."""
+    corners = _box_corners_2d(ceiling)
+    edges = np.stack([np.stack([corners[k], corners[(k + 1) % 4]])
+                      for k in range(4)])
+    wn = wall_cenlines.shape[0]
+    probes = np.concatenate(
+        [wall_cenlines, wall_cenlines.mean(1, keepdims=True)], 1)
+    in_mask = points_in_lines(probes.reshape(-1, 3), edges,
+                              threshold_dis=0.1).reshape(wn, 3, 4)
+    in_state = in_mask.any(2).sum(1)
+    winc_ids = np.where(in_state >= 2)[0]
+    if winc_ids.size == 0:
+        return 0, np.zeros((0,), np.int64)
+    # at most one edge wall per boundary edge (clean_extend_lines)
+    lines = wall_cenlines[winc_ids]
+    ext = is_extend_lines(lines, lines)
+    rm = [i for i in range(len(winc_ids) - 1) if ext[i, i + 1:].any()]
+    keep = [i for i in range(len(winc_ids)) if i not in rm]
+    return len(keep), in_state[winc_ids[keep]]
+
+
+def preprocess_cfr(ceilings, walls):
+    """Keep per-room ceiling (or floor) candidates supported by walls
+    (celing_floor_room_preprocessing.preprocess_cfr). Input/output:
+    standard (N, 7) boxes."""
+    if ceilings.shape[0] == 0:
+        return ceilings
+    if walls.shape[0] == 0:
+        return np.zeros((0, 7), np.float32)
+    ceilings_c, keep0 = _clean_repeat_cfr(np.asarray(ceilings, np.float64))
+    cn = ceilings_c.shape[0]
+    flat = ceilings_c.copy()
+    flat[:, 2] = 0
+
+    corners_all = np.stack([_box_corners_2d(c) for c in flat])  # (cn,4,3)
+    wall_cenlines = np.stack([centroid_line(w, "X") for w in walls])
+    wall_cenlines[:, :, 2] = 0
+
+    good = []
+    for c in range(cn):
+        # (1) covering more than one other candidate => multi-room slab
+        box_c = flat[c].copy()
+        box_c[3:6] += 0.2
+        inside = _corners_in_box_2d(corners_all.reshape(-1, 3), box_c)
+        inside = inside.reshape(cn, 4).all(1)
+        if inside.sum() - 1 > 1:
+            continue
+        # (2) edge-wall support
+        num, state = _edge_wall_count(wall_cenlines, flat[c])
+        if num >= 3 or (num == 2 and len(state) and (state == 3).all()):
+            good.append(c)
+    return np.asarray(ceilings)[keep0[good]]
+
+
+def _corners_in_box_2d(points, box):
+    """(n,) bool: xy points inside the rotated xy footprint of box."""
+    c, s = np.cos(box[6]), np.sin(box[6])
+    R = np.array([[c, -s], [s, c]])
+    local = (points[:, :2] - box[:2]) @ R.T
+    return (np.abs(local[:, 0]) <= box[3] / 2 + 1e-9) & \
+           (np.abs(local[:, 1]) <= box[4] / 2 + 1e-9)
