@@ -70,3 +70,49 @@ def test_batched_train_step_dp():
     delta = jax.tree_util.tree_map(
         lambda a, b: float(jnp.abs(a - b).max()), params, new_params)
     assert max(jax.tree_util.tree_leaves(delta)) > 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >=2 devices")
+def test_trainer_dp_end_to_end(tmp_path):
+    """Trainer.train itself on a 2-device dp mesh: shuffled batched
+    epochs, pmean'd gradients, NaN-gated state transition, checkpoints."""
+    from detection_3d_tpu.engine.trainer import Trainer
+    from detection_3d_tpu.config.defaults import SolverConfig
+
+    cfg = Config(
+        classes=("background", "wall", "door", "window"),
+        sparse3d=Sparse3DConfig(
+            voxel_scale=20, voxel_full_scale=(128, 128, 64),
+            nplanes_front=(8, 16, 16, 32),
+            kernels=((2, 2, 2),) * 3, strides=((2, 2, 2),) * 3,
+            nplane_map=16),
+        rpn=RPNConfig(
+            rpn_scales_from_top=(2, 1), rpn_3d_2d_selector=(0, 1, 2),
+            anchor_sizes_3d=((0.2, 0.5, 3), (0.4, 1.5, 3), (0.6, 2.5, 3)),
+            use_yaws=(1, 1, 1),
+            fpn_pre_nms_top_n_train=128, fpn_pre_nms_top_n_test=128,
+            fpn_post_nms_top_n_train=32, fpn_post_nms_top_n_test=32,
+            batch_size_per_image=32),
+        roi=ROIConfig(pooler_scales_from_top=(2, 1),
+                      batch_size_per_image=32, detections_per_img=16,
+                      mlp_head_dim=32),
+        backbone_out_channels=16,
+        solver=SolverConfig(ims_per_batch=2, epochs=1),
+        caps=CapacityConfig(max_points=4096,
+                            voxel_caps=(2048, 1024, 512, 256), max_gt=8),
+    )
+    mesh = make_mesh(2)
+    # 3 scenes with batch 2: the final batch is cycle-padded
+    scenes = [synthetic_building(seed=i, num_points=2000, room=5.0,
+                                 classes=cfg.classes,
+                                 voxel_scale=cfg.sparse3d.voxel_scale)
+              for i in range(3)]
+    trainer = Trainer(cfg, output_dir=str(tmp_path), mesh=mesh)
+    state = trainer.init_state(scenes[0], iters_per_epoch=2)
+    p0 = state.params
+    state = trainer.train(scenes, state, epochs=1)
+    assert int(state.step) == 2  # ceil(3/2) steps
+    delta = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), p0, state.params)
+    assert max(jax.tree_util.tree_leaves(delta)) > 0
+    assert (tmp_path / "model_final.msgpack").exists()

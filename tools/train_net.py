@@ -70,9 +70,23 @@ def main():
         train_scenes = [train_ds[i] for i in range(len(train_ds))]
         test_scenes = [test_ds[i] for i in range(len(test_ds))]
 
-    trainer = Trainer(cfg, output_dir=out, logger=logger)
+    # data-parallel mesh when more than one device is attached (the
+    # reference's DDP launch path, train_net_sparse3d.py:52-57,170-177)
+    import jax
+    mesh = None
+    bsz = 1
+    if len(jax.devices()) > 1 and cfg.solver.ims_per_batch >= 1:
+        from detection_3d_tpu.parallel.mesh import make_mesh
+        dp = len(jax.devices())
+        bsz = max(cfg.solver.ims_per_batch, dp)
+        bsz += (-bsz) % dp  # round up to a multiple of the mesh
+        mesh = make_mesh(dp)
+        logger.info("data-parallel: %d devices, %d buildings/step",
+                    dp, bsz)
+
+    trainer = Trainer(cfg, output_dir=out, logger=logger, mesh=mesh)
     state = trainer.init_state(train_scenes[0],
-                               iters_per_epoch=len(train_scenes))
+                               iters_per_epoch=-(-len(train_scenes) // bsz))
     loaded = trainer.checkpointer.load(
         {"params": state.params, "opt_state": state.opt_state,
          "step": state.step})
