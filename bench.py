@@ -7,30 +7,61 @@ Baseline: the reference's 4.75 s per building on a single GPU
 speedup factor (baseline_seconds / measured_seconds, >1 = faster).
 
 The measured pipeline is the full jitted forward: voxelize -> sparse FPN
-backbone -> RPN (decode+NMS) -> ROI head (rotated ROI align + NMS) on a
-synthetic building (~60k surface points, 6-class config).
+backbone -> RPN (decode+NMS) -> ROI head (rotated ROI align + NMS), at
+the REFERENCE-SCALE config: 4096 x 4096 x 512 grid, 9 scales, 6 classes,
+500k input points on a ~40 m multi-room building (~490k active voxels) —
+the exact shape class of /root/reference/configs/6c/6c_Fpn4321_bs1_lr5.yaml
+(VOXEL_FULL_SCALE, nPlanesFront, RPN selector) and the 500k-point cap of
+data3d/suncg_utils/indoor_data_util.py:22-25.
+
+Run with --small for the round-1 reduced config (1024^2 x 256 grid,
+7 scales, 120k points) kept for comparison.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
+def full_scale_config():
+    """Reference-scale 6c config (6c_Fpn4321_bs1_lr5.yaml)."""
     from detection_3d_tpu.config import Config, Sparse3DConfig, CapacityConfig
     from detection_3d_tpu.config.defaults import RPNConfig, ROIConfig
-    from detection_3d_tpu.data.synthetic import synthetic_building
-    from detection_3d_tpu.engine.inference import make_predict_fn
-    from detection_3d_tpu.engine.trainer import pad_scene
-    from detection_3d_tpu.models.detector import SparseRCNN, voxelize_points
-    from detection_3d_tpu.models.structures import Boxes3D
 
-    # 6-class config at reduced-but-realistic capacities for one building
-    cfg = Config(
+    return Config(
+        classes=("background", "wall", "door", "window", "ceiling", "floor"),
+        sparse3d=Sparse3DConfig(
+            voxel_scale=50,
+            voxel_full_scale=(4096, 4096, 512),
+            nplanes_front=(32, 64, 64, 128, 128, 128, 256, 256, 256),
+            kernels=((2, 2, 2),) * 8,
+            strides=((2, 2, 2),) * 8,
+        ),
+        rpn=RPNConfig(
+            rpn_scales_from_top=(4, 3, 2, 1),
+            rpn_3d_2d_selector=(1, 2, 3, 4, 5, 6),
+            anchor_sizes_3d=((0.4, 1.5, 1.5), (1.5, 1.5, 1.0), (4, 4, 1.5),
+                             (0.2, 0.5, 3), (0.4, 1.5, 3), (0.6, 2.5, 3)),
+            use_yaws=(1, 0, 0, 1, 1, 1),
+        ),
+        caps=CapacityConfig(
+            max_points=500_000,
+            voxel_caps=(524288, 262144, 131072, 65536, 32768,
+                        16384, 8192, 4096, 2048),
+            max_gt=512,
+            # scale-0/1 grids (8.6G / 1.1G entries) cannot be dense in
+            # HBM; scales >= 2 (<= 134M entries) get one-gather lookups
+            dense_grid_max_entries=1 << 28),
+    )
+
+
+def small_config():
+    from detection_3d_tpu.config import Config, Sparse3DConfig, CapacityConfig
+    from detection_3d_tpu.config.defaults import RPNConfig
+
+    return Config(
         classes=("background", "wall", "door", "window", "ceiling", "floor"),
         sparse3d=Sparse3DConfig(
             voxel_scale=50,
@@ -50,20 +81,38 @@ def main():
             max_points=120_000,
             voxel_caps=(65536, 32768, 16384, 8192, 4096, 2048, 1024),
             max_gt=64,
-            # 2^28 covers the full-resolution 1024x1024x256 grid: every
-            # scale gets one-gather lookups (1 GB int32 grid at scale 0)
             dense_grid_max_entries=1 << 28),
     )
 
-    scene = synthetic_building(seed=0, num_points=100_000, room=10.0,
-                               voxel_scale=cfg.sparse3d.voxel_scale)
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from detection_3d_tpu.data.synthetic import (
+        synthetic_building, synthetic_multiroom,
+    )
+    from detection_3d_tpu.engine.inference import make_predict_fn
+    from detection_3d_tpu.engine.trainer import pad_scene
+    from detection_3d_tpu.models.detector import SparseRCNN, voxelize_points
+    from detection_3d_tpu.models.structures import Boxes3D
+
+    small = "--small" in sys.argv
+    if small:
+        cfg = small_config()
+        scene = synthetic_building(seed=0, num_points=100_000, room=10.0,
+                                   voxel_scale=cfg.sparse3d.voxel_scale)
+    else:
+        cfg = full_scale_config()
+        scene = synthetic_multiroom(seed=0, num_points=500_000,
+                                    rooms_xy=(5, 5), room=8.0,
+                                    voxel_scale=cfg.sparse3d.voxel_scale)
 
     model = SparseRCNN(cfg)
     batch = {k: jnp.asarray(v) for k, v in pad_scene(cfg, scene).items()}
     table = voxelize_points(cfg, batch["points"], batch["feats"],
                             batch["points_valid"])
     rng = jax.random.PRNGKey(0)
-    gt = Boxes3D(batch["gt_boxes"], batch["gt_valid"])
     import functools
     params = jax.jit(functools.partial(model.init, is_train=False))(
         rng, table)
@@ -104,7 +153,8 @@ def main():
 
     baseline = 4.75
     print(json.dumps({
-        "metric": "inference_sec_per_building",
+        "metric": "inference_sec_per_building_fullscale" if not small
+        else "inference_sec_per_building",
         "value": round(dt, 4),
         "unit": "s",
         "vs_baseline": round(baseline / dt, 2),

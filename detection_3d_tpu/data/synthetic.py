@@ -126,3 +126,45 @@ def synthetic_building(seed: int = 0, num_points: int = 60_000,
 
     return {"points": scaled.astype(np.float32), "feats": feats,
             "gt_boxes": gt_yx_zb.astype(np.float32), "gt_labels": labels}
+
+
+def synthetic_multiroom(seed: int = 0, num_points: int = 500_000,
+                        rooms_xy=(4, 4), room: float = 8.0,
+                        wall_h: float = 2.7,
+                        classes=("background", "wall", "door", "window",
+                                 "ceiling", "floor"),
+                        voxel_scale: int = 50):
+    """A full-scale building: a rooms_xy grid of rooms (default 4x4 x 8 m
+    = ~32 m extent — the reference packs buildings to <= 40.9 m,
+    indoor_data_util.py:22-25) with ~num_points points total. Matches the
+    scale of one real SYNBIM building (500k points over a
+    4096x4096x512 voxel grid at 2 cm)."""
+    rng = np.random.RandomState(seed)
+    nx, ny = rooms_xy
+    n_rooms = nx * ny
+    per_room = num_points // n_rooms
+
+    merged = None
+    for ry in range(ny):
+        for rx in range(nx):
+            s = seed * 1000 + ry * nx + rx
+            sc = synthetic_building(
+                seed=s, num_points=per_room, room=room, wall_h=wall_h,
+                classes=classes, voxel_scale=1)  # unscaled meters
+            off = np.array([(rx + 0.5) * room, (ry + 0.5) * room, 0.0],
+                           np.float32)
+            sc["points"] = sc["points"] + off
+            sc["feats"][:, :3] += off
+            sc["gt_boxes"][:, :3] += off  # yx_zb centers: xc, yc, z_bot
+            if merged is None:
+                merged = sc
+            else:
+                for k in ("points", "feats", "gt_boxes", "gt_labels"):
+                    merged[k] = np.concatenate([merged[k], sc[k]], 0)
+
+    # global scale + shift to the positive octant (suncg_dataset.py:115-137)
+    scaled = merged["points"] * voxel_scale
+    shift = scaled.min(0)
+    merged["points"] = (scaled - shift).astype(np.float32)
+    merged["gt_boxes"][:, :3] -= shift / voxel_scale
+    return merged
