@@ -151,6 +151,10 @@ class CapacityConfig:
     # scales whose grid volume fits this budget get a dense row-index grid
     # (one-gather lookups instead of binary search); 2^26 = 256 MB int32
     dense_grid_max_entries: int = 1 << 26
+    # scales too big for a dense 3D grid get a dense (b, x, y) COLUMN
+    # grid (start+count) + short in-column z search; 2^25 covers the
+    # full-scale 4096x4096 plane (2 x 67 MB int32)
+    xy_grid_max_entries: int = 1 << 25
 
     def scale_caps(self, num_scales: int, base: Optional[int] = None):
         if self.voxel_caps:
@@ -174,6 +178,10 @@ class Config:
     separate_classes: Tuple[Tuple[str, ...], ...] = ()
     separate_rpn: bool = True
     rpn_only: bool = False
+    # every N epochs, postprocess the non-GT sampled proposals during
+    # training and evaluate at epoch end (reference DEBUG.eval_in_train,
+    # box_head.py:118-127 + trainer_sparse3d.py:95-104,165-172); 0 = off
+    eval_in_train: int = 0
     backbone_out_channels: int = 128
     sparse3d: Sparse3DConfig = field(default_factory=Sparse3DConfig)
     rpn: RPNConfig = field(default_factory=RPNConfig)

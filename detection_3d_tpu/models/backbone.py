@@ -85,13 +85,18 @@ def build_pyramid(table0: SparseTensor, cfg: Config) -> Dict[str, Any]:
     caps = cfg.caps.scale_caps(n_scales, base=table0.capacity)
     offs3 = submanifold_offsets((3, 3, 3))
     budget = cfg.caps.dense_grid_max_entries
+    xy_budget = cfg.caps.xy_grid_max_entries
 
-    tables = [table0.with_dense_grid(budget)]
+    def accel(t):
+        # dense 3D grid when it fits; otherwise a dense xy-column grid
+        return t.with_dense_grid(budget).with_xy_grid(xy_budget)
+
+    tables = [accel(table0)]
     down_rb = []
     for k in range(1, n_scales):
         kernel, stride = s3d.kernels[k - 1], s3d.strides[k - 1]
         t = downsample_table(tables[-1], kernel, stride, caps[k])
-        t = t.with_dense_grid(budget)
+        t = accel(t)
         down_rb.append(conv_rulebook(t, tables[-1], kernel, stride))
         tables.append(t)
 

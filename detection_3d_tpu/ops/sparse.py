@@ -44,7 +44,7 @@ class SparseTensor:
     """
 
     def __init__(self, coords, feats, hi, lo, num, spatial_size, batch_size,
-                 dense_grid=None, true_num=None):
+                 dense_grid=None, true_num=None, xy_grid=None):
         self.coords = coords
         self.feats = feats
         self.hi = hi
@@ -53,6 +53,10 @@ class SparseTensor:
         self.spatial_size = tuple(int(s) for s in spatial_size)
         self.batch_size = int(batch_size)
         self.dense_grid = dense_grid
+        # xy_grid: (col_start, col_count) over the flat (b, x, y) plane —
+        # the lookup accelerator for scales whose FULL 3D grid does not
+        # fit HBM (see with_xy_grid)
+        self.xy_grid = xy_grid
         # pre-truncation voxel count: > capacity means the input layer had
         # to subsample (overflow signal for the trainer/inference loops)
         self.true_num = num if true_num is None else true_num
@@ -60,16 +64,16 @@ class SparseTensor:
     # -- pytree protocol ---------------------------------------------------
     def tree_flatten(self):
         children = (self.coords, self.feats, self.hi, self.lo, self.num,
-                    self.dense_grid, self.true_num)
+                    self.dense_grid, self.true_num, self.xy_grid)
         aux = (self.spatial_size, self.batch_size)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        coords, feats, hi, lo, num, dense_grid, true_num = children
+        coords, feats, hi, lo, num, dense_grid, true_num, xy_grid = children
         spatial_size, batch_size = aux
         return cls(coords, feats, hi, lo, num, spatial_size, batch_size,
-                   dense_grid, true_num)
+                   dense_grid, true_num, xy_grid)
 
     def with_dense_grid(self, max_entries: int = 1 << 26):
         """Attach a dense (X*Y*Z*B,) row-index grid when affordable."""
@@ -84,7 +88,38 @@ class SparseTensor:
             jnp.arange(self.capacity, dtype=jnp.int32), mode="drop")
         return SparseTensor(self.coords, self.feats, self.hi, self.lo,
                             self.num, self.spatial_size, self.batch_size,
-                            grid, self.true_num)
+                            grid, self.true_num, self.xy_grid)
+
+    def with_xy_grid(self, max_entries: int = 1 << 25):
+        """Attach a dense (X*Y*B,) COLUMN index: start row + row count of
+        every (b, x, y) column (rows within a column are contiguous and
+        z-sorted — key order is (b, x) then (y, z), ops/coords.py).
+
+        This is the lookup accelerator for scales whose full 3D grid
+        cannot be dense (4096 x 4096 x 512 = 8.6G entries at scale 0):
+        the xy plane is only X*Y*B entries (16.8M at scale 0, 67 MB
+        int32), and a query becomes 2 gathers (start, count) + a
+        <= log2(Z)-step in-column search instead of a 17-step binary
+        search over the whole table. Profiled at the reference-scale
+        bench, the whole-table searches were ~80% of device time.
+        """
+        X, Y, Z = self.spatial_size
+        total = X * Y * self.batch_size
+        if (total > max_entries or self.xy_grid is not None
+                or self.dense_grid is not None):
+            return self
+        x = self.coords[:, 0]
+        y = self.coords[:, 1]
+        b = self.coords[:, 3]
+        ck = jnp.where(self.row_valid, (b * X + x) * Y + y, total)
+        start = jnp.full((total,), self.capacity, jnp.int32)
+        start = start.at[ck].min(
+            jnp.arange(self.capacity, dtype=jnp.int32), mode="drop")
+        count = jnp.zeros((total,), jnp.int32)
+        count = count.at[ck].add(1, mode="drop")
+        return SparseTensor(self.coords, self.feats, self.hi, self.lo,
+                            self.num, self.spatial_size, self.batch_size,
+                            self.dense_grid, self.true_num, (start, count))
 
     def _flat_index(self, coords):
         X, Y, Z = self.spatial_size
@@ -107,7 +142,7 @@ class SparseTensor:
     def with_feats(self, feats):
         return SparseTensor(self.coords, feats, self.hi, self.lo, self.num,
                             self.spatial_size, self.batch_size,
-                            self.dense_grid, self.true_num)
+                            self.dense_grid, self.true_num, self.xy_grid)
 
     def lookup(self, coords, valid=None):
         """Find rows for query coords (..., 4). Returns (idx, found)."""
@@ -122,8 +157,53 @@ class SparseTensor:
             idx = self.dense_grid[flat]
             found = inb & (idx >= 0)
             return jnp.where(found, idx, 0).astype(jnp.int32), found
+        if self.xy_grid is not None:
+            pos, inb, cs, cl, qhi, qlo = self.column_lower_bound(coords,
+                                                                 valid)
+            idx = jnp.clip(pos, 0, self.capacity - 1).astype(jnp.int32)
+            found = inb & (cl > 0) & (self.hi[idx] == qhi) & \
+                (self.lo[idx] == qlo)
+            return idx, found
         qhi, qlo = pack_key(coords, self.spatial_size, valid)
         return lex_searchsorted(self.hi, self.lo, qhi, qlo)
+
+    def column_lower_bound(self, coords, valid=None):
+        """In-column lower bound via the xy grid.
+
+        Returns (pos, inb, col_start, col_count, qhi, qlo): ``pos`` is the
+        first row of the (b, x, y) column whose key >= the query's (i.e.
+        whose z >= the query z), in [col_start, col_start + col_count].
+        Exposed separately from lookup() so rulebook builders can derive
+        z-adjacent neighbors from one search.
+        """
+        start, count = self.xy_grid
+        X, Y, Z = self.spatial_size
+        x, y, z, b = (coords[..., i] for i in range(4))
+        inb = ((x >= 0) & (x < X) & (y >= 0) & (y < Y) & (z >= 0)
+               & (z < Z) & (b >= 0) & (b < self.batch_size))
+        if valid is not None:
+            inb = inb & valid
+        qhi = b * X + x
+        qlo = y * Z + z
+        ck = jnp.where(inb, qhi * Y + y, 0)
+        cs = start[ck]
+        cl = jnp.where(inb, count[ck], 0)
+        n = self.capacity
+        lo = self.lo
+        # branchless lower bound within the column window [cs, cs + cl):
+        # columns hold at most Z rows -> log2(Z)+1 fixed steps
+        nbits = max(1, int(Z).bit_length())
+
+        def step_fn(i, pos):
+            shift = nbits - 1 - i
+            probe = pos + jnp.left_shift(jnp.int32(1), shift)
+            ok = probe <= cs + cl
+            pi = jnp.clip(probe - 1, 0, n - 1)
+            advance = ok & (lo[pi] < qlo)
+            return jnp.where(advance, probe, pos)
+
+        pos = jax.lax.fori_loop(0, nbits, step_fn, cs)
+        return pos, inb, cs, cl, qhi, qlo
 
 
 @functools.partial(jax.jit, static_argnames=("spatial_size", "batch_size",
@@ -218,12 +298,81 @@ def neighbor_indices(table: SparseTensor, offsets):
     SubmanifoldConvolutionRules.h:26-57), but as dense (K, V) index arrays:
     idx[k, i] = row of neighbor of site i at offset k, or V (a zero pad row)
     when absent. All K offsets resolve in ONE vectorized binary search.
+
+    With an xy-column grid attached and a 3^3 kernel, the grouped builder
+    is used instead: 8 xy-column searches (the center column is the row
+    itself) + z-adjacency checks replace 27 independent searches — rows
+    within a column are z-sorted and contiguous, so the dz = +-1
+    neighbors of a found position are its adjacent rows.
     """
+    if (table.xy_grid is not None and table.dense_grid is None
+            and len(offsets) == 27):
+        return _neighbor_indices_3x3x3_grouped(table, offsets)
     v = table.capacity
     deltas = jnp.array([[o[0], o[1], o[2], 0] for o in offsets], jnp.int32)
     q = table.coords[None, :, :] + deltas[:, None, :]        # (K, V, 4)
     idx, found = table.lookup(q, valid=table.row_valid[None, :])
     return jnp.where(found, idx, v)
+
+
+def _z_triplet(table, pos, cs, cl, qhi, qlo, col_ok, z):
+    """Rows for (z-1, z, z+1) of one column from a single lower bound.
+
+    ``pos`` = first row of the column with lo >= qlo. Returns three
+    (idx, found) pairs. Guards z boundaries explicitly: lo = y*Z + z, so
+    lo -+ 1 can wrap into the previous/next y column (hi would still
+    match) — the z-range check is what prevents that false hit.
+    """
+    Z = table.spatial_size[2]
+    n = table.capacity
+    lo, hi = table.lo, table.hi
+
+    pc = jnp.clip(pos, 0, n - 1)
+    in_col = col_ok & (pos < cs + cl)
+    center_f = in_col & (lo[pc] == qlo) & (hi[pc] == qhi)
+
+    pm = jnp.clip(pos - 1, 0, n - 1)
+    minus_f = col_ok & (pos - 1 >= cs) & (z >= 1) & \
+        (lo[pm] == qlo - 1) & (hi[pm] == qhi)
+
+    pp_raw = pos + center_f.astype(pos.dtype)
+    pp = jnp.clip(pp_raw, 0, n - 1)
+    plus_f = col_ok & (pp_raw < cs + cl) & (z + 1 < Z) & \
+        (lo[pp] == qlo + 1) & (hi[pp] == qhi)
+    return (pm, minus_f), (pc, center_f), (pp, plus_f)
+
+
+def _neighbor_indices_3x3x3_grouped(table: SparseTensor, offsets):
+    v = table.capacity
+    Z = table.spatial_size[2]
+    rows = jnp.arange(v, dtype=jnp.int32)
+    rv = table.row_valid
+    z_own = table.coords[:, 2]
+    out = {}
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                # center column: the site IS its own center; dz = +-1 are
+                # the adjacent rows when their key is one z step away
+                pm = jnp.clip(rows - 1, 0, v - 1)
+                minus_f = rv & (rows >= 1) & (z_own >= 1) & \
+                    (table.lo[pm] == table.lo - 1) & \
+                    (table.hi[pm] == table.hi)
+                pp = jnp.clip(rows + 1, 0, v - 1)
+                plus_f = rv & (rows + 1 < v) & (z_own + 1 < Z) & \
+                    (table.lo[pp] == table.lo + 1) & \
+                    (table.hi[pp] == table.hi)
+                trip = ((pm, minus_f), (rows, rv), (pp, plus_f))
+            else:
+                delta = jnp.array([dx, dy, 0, 0], jnp.int32)
+                pos, inb, cs, cl, qhi, qlo = table.column_lower_bound(
+                    table.coords + delta, valid=rv)
+                col_ok = inb & (cl > 0)
+                trip = _z_triplet(table, pos, cs, cl, qhi, qlo, col_ok,
+                                  z_own)
+            for dz, (idx, found) in zip((-1, 0, 1), trip):
+                out[(dx, dy, dz)] = jnp.where(found, idx, v)
+    return jnp.stack([out[o] for o in offsets])
 
 
 @functools.partial(jax.jit, static_argnames=("kernel", "stride", "capacity"))
@@ -278,10 +427,39 @@ def conv_rulebook(out_table: SparseTensor, in_table: SparseTensor,
                   kernel, stride):
     """Gather indices for a strided conv: for each output site o and kernel
     offset k, find input site o*stride + k. Returns (K, V_out) indices into
-    the input table (V_in = missing)."""
+    the input table (V_in = missing).
+
+    With an xy-column grid on the input table and kernel depth kz = 2,
+    the two z offsets of each (kx, ky) column come from ONE lower-bound
+    search (rows within a column are z-sorted and contiguous)."""
     st = jnp.array([stride[0], stride[1], stride[2], 1], jnp.int32)
     base = out_table.coords * st
     v_in = in_table.capacity
+
+    if (in_table.xy_grid is not None and in_table.dense_grid is None
+            and kernel[2] == 2):
+        Z = in_table.spatial_size[2]
+        lo, hi = in_table.lo, in_table.hi
+        rv = out_table.row_valid
+        cols = []
+        for kx in range(kernel[0]):
+            for ky in range(kernel[1]):
+                delta = jnp.array([kx, ky, 0, 0], jnp.int32)
+                pos, inb, cs, cl, qhi, qlo = in_table.column_lower_bound(
+                    base + delta, valid=rv)
+                col_ok = inb & (cl > 0)
+                p0 = jnp.clip(pos, 0, v_in - 1)
+                f0 = col_ok & (pos < cs + cl) & (lo[p0] == qlo) & \
+                    (hi[p0] == qhi)
+                p1_raw = pos + f0.astype(pos.dtype)
+                p1 = jnp.clip(p1_raw, 0, v_in - 1)
+                zq = base[:, 2]
+                f1 = col_ok & (p1_raw < cs + cl) & (zq + 1 < Z) & \
+                    (lo[p1] == qlo + 1) & (hi[p1] == qhi)
+                cols.append(jnp.where(f0, p0, v_in))
+                cols.append(jnp.where(f1, p1, v_in))
+        return jnp.stack(cols)
+
     deltas = jnp.array(
         [[kx, ky, kz, 0] for kx in range(kernel[0])
          for ky in range(kernel[1]) for kz in range(kernel[2])], jnp.int32)

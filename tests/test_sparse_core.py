@@ -240,3 +240,77 @@ def test_capacity_overflow_strided_unbiased():
     t2 = build_sparse_tensor(jnp.array(coords), jnp.array(feats),
                              jnp.ones((n,), bool), (64, 4, 4), 1, 128)
     assert int(t2.true_num) == int(t2.num) == n
+
+
+def test_lookup_paths_agree():
+    """binary-search, dense-3D-grid, and xy-column-grid lookups must
+    return identical (idx, found) on random tables and queries."""
+    rng = np.random.RandomState(3)
+    spatial = (32, 24, 16)
+    n = 300
+    coords = np.stack([rng.randint(0, spatial[0], n),
+                       rng.randint(0, spatial[1], n),
+                       rng.randint(0, spatial[2], n),
+                       np.zeros(n, np.int64)], -1).astype(np.int32)
+    feats = rng.rand(n, 3).astype(np.float32)
+    base = build_sparse_tensor(jnp.array(coords), jnp.array(feats),
+                               jnp.ones((n,), bool), spatial, 1, 512)
+    dense = base.with_dense_grid(1 << 20)
+    xy = SparseTensor(base.coords, base.feats, base.hi, base.lo, base.num,
+                      base.spatial_size, base.batch_size).with_xy_grid(1 << 20)
+    assert dense.dense_grid is not None and xy.xy_grid is not None
+
+    m = 500
+    q = np.stack([rng.randint(-2, spatial[0] + 2, m),
+                  rng.randint(-2, spatial[1] + 2, m),
+                  rng.randint(-2, spatial[2] + 2, m),
+                  np.zeros(m, np.int64)], -1).astype(np.int32)
+    # include exact hits
+    q[:100] = np.asarray(base.coords[:100])
+    q = jnp.array(q)
+    i0, f0 = base.lookup(q)
+    i1, f1 = dense.lookup(q)
+    i2, f2 = xy.lookup(q)
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f2))
+    fm = np.asarray(f0)
+    np.testing.assert_array_equal(np.asarray(i0)[fm], np.asarray(i1)[fm])
+    np.testing.assert_array_equal(np.asarray(i0)[fm], np.asarray(i2)[fm])
+    # batched (K, V) query shape as used by rulebook builders
+    qb = q.reshape(5, 100, 4)
+    ib, fb = xy.lookup(qb)
+    np.testing.assert_array_equal(np.asarray(fb).ravel(), fm)
+
+
+def test_grouped_rulebooks_match_plain():
+    """xy-grid grouped builders (8 column searches + z adjacency) must
+    produce the exact rulebooks of the plain per-offset binary search."""
+    rng = np.random.RandomState(11)
+    spatial = (32, 24, 16)
+    n = 400
+    coords = np.stack([rng.randint(0, spatial[0], n),
+                       rng.randint(0, spatial[1], n),
+                       rng.randint(0, spatial[2], n),
+                       np.zeros(n, np.int64)], -1).astype(np.int32)
+    # add some dense z columns (walls) to exercise adjacency
+    zcol = np.stack([np.full(16, 5), np.full(16, 7), np.arange(16),
+                     np.zeros(16)], -1).astype(np.int32)
+    coords = np.concatenate([coords, zcol])
+    feats = np.ones((coords.shape[0], 2), np.float32)
+    plain = build_sparse_tensor(jnp.array(coords), jnp.array(feats),
+                                jnp.ones((coords.shape[0],), bool),
+                                spatial, 1, 512)
+    gridded = SparseTensor(plain.coords, plain.feats, plain.hi, plain.lo,
+                           plain.num, plain.spatial_size,
+                           plain.batch_size).with_xy_grid(1 << 20)
+    offs = submanifold_offsets((3, 3, 3))
+    rb_plain = np.asarray(neighbor_indices(plain, offs))
+    rb_grouped = np.asarray(neighbor_indices(gridded, offs))
+    np.testing.assert_array_equal(rb_plain, rb_grouped)
+
+    out_plain = downsample_table(plain, (2, 2, 2), (2, 2, 2), 256)
+    crb_plain = np.asarray(conv_rulebook(out_plain, plain,
+                                         (2, 2, 2), (2, 2, 2)))
+    crb_grouped = np.asarray(conv_rulebook(out_plain, gridded,
+                                           (2, 2, 2), (2, 2, 2)))
+    np.testing.assert_array_equal(crb_plain, crb_grouped)

@@ -19,13 +19,18 @@ import jax
 import jax.numpy as jnp
 
 
+def _drain(out):
+    import numpy as np
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(leaf)
+
+
 def timed(fn, *args, iters=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _drain(fn(*args))
     t0 = time.time()
     for _ in range(iters):
         out = fn(*args)
-        jax.block_until_ready(out)
+    _drain(out)
     return (time.time() - t0) / iters
 
 
@@ -40,29 +45,21 @@ def main():
     from detection_3d_tpu.models.rpn import RPN
     from detection_3d_tpu.models.roi_head import ROIBoxHead, postprocess
 
-    cfg = Config(
-        classes=("background", "wall", "door", "window", "ceiling", "floor"),
-        sparse3d=Sparse3DConfig(
-            voxel_scale=50,
-            voxel_full_scale=(1024, 1024, 256),
-            nplanes_front=(32, 64, 64, 128, 128, 128, 256),
-            kernels=((2, 2, 2),) * 6,
-            strides=((2, 2, 2),) * 6,
-        ),
-        rpn=RPNConfig(
-            rpn_scales_from_top=(4, 3, 2),
-            rpn_3d_2d_selector=(1, 3, 4, 5),
-            anchor_sizes_3d=((0.4, 1.5, 1.5), (0.2, 0.5, 3), (0.4, 1.5, 3),
-                             (0.6, 2.5, 3)),
-            use_yaws=(1, 1, 1, 1),
-        ),
-        caps=CapacityConfig(
-            max_points=120_000,
-            voxel_caps=(65536, 32768, 16384, 8192, 4096, 2048, 1024),
-            max_gt=64),
-    )
-    scene = synthetic_building(seed=0, num_points=100_000, room=10.0,
-                               voxel_scale=cfg.sparse3d.voxel_scale)
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    args = ap.parse_args()
+    from bench import full_scale_config, small_config
+    from detection_3d_tpu.data.synthetic import synthetic_multiroom
+    if args.small:
+        cfg = small_config()
+        scene = synthetic_building(seed=0, num_points=100_000, room=10.0,
+                                   voxel_scale=cfg.sparse3d.voxel_scale)
+    else:
+        cfg = full_scale_config()
+        scene = synthetic_multiroom(seed=0, num_points=500_000,
+                                    rooms_xy=(5, 5), room=8.0,
+                                    voxel_scale=cfg.sparse3d.voxel_scale)
     batch = {k: jnp.asarray(v) for k, v in pad_scene(cfg, scene).items()}
     model = SparseRCNN(cfg)
     rng = jax.random.PRNGKey(0)
