@@ -128,6 +128,7 @@ _MAPPING = {
     ("TEST", "EVAL_AUG_THICKNESS_Z_TAR_ANC"):
         ("test", "eval_aug_thickness_z_tar_anc"),
     ("", "OUTPUT_DIR"): ("", "output_dir"),
+    ("DEBUG", "eval_in_train"): ("", "eval_in_train"),
 }
 
 

@@ -109,6 +109,7 @@ class Trainer:
         self.min_loss = float("inf")
         self.min_save_every = 50
         self._last_min_save = -(10 ** 9)
+        self.last_train_eval = None
         self._step_fn = None
         self._tx = None
 
@@ -143,13 +144,20 @@ class Trainer:
             gt = Boxes3D(batch["gt_boxes"], batch["gt_valid"])
 
             def loss_fn(params):
-                losses, _ = model.apply(params, table, gt,
-                                        batch["gt_labels"],
-                                        is_train=True, rng=rng)
-                return sum(jax.tree_util.tree_leaves(losses)), losses
+                losses, res = model.apply(params, table, gt,
+                                          batch["gt_labels"],
+                                          is_train=True, rng=rng)
+                return sum(jax.tree_util.tree_leaves(losses)), (losses,
+                                                                res)
 
-            (total, losses), grads = jax.value_and_grad(
+            (total, (losses, res)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
+            # train-time predictions on non-GT proposals
+            # (trainer_sparse3d.py:95-104); empty tuple when disabled
+            dets = ()
+            if cfg.eval_in_train:
+                dets = (res.boxes, res.valid, res.fields["scores"],
+                        res.fields["labels"])
 
             # NaN guard (trainer_sparse3d.py:86-91): skip the update when
             # the loss or ANY gradient is non-finite (params stay clean
@@ -172,7 +180,7 @@ class Trainer:
                                              state.opt_state)
             new_state = TrainState(params=new_params, opt_state=new_opt,
                                    step=state.step + 1)
-            return new_state, total, losses, ok, true_num
+            return new_state, total, losses, ok, true_num, dets
 
         return train_step
 
@@ -237,7 +245,10 @@ class Trainer:
                                              state.opt_state)
             new_state = TrainState(params=new_params, opt_state=new_opt,
                                    step=state.step + 1)
-            return new_state, total, losses, ok, true_num
+            # eval-in-train not supported on the DP path (per-device
+            # detections would need an all-gather; run eval via
+            # run_inference instead)
+            return new_state, total, losses, ok, true_num, ()
 
         return train_step
 
@@ -266,6 +277,12 @@ class Trainer:
         shuffle_rng = np.random.default_rng(seed + 77)
         steps_per_epoch = -(-len(scenes) // bsz)
         for epoch in range(epochs):
+            # eval-in-train accumulation (trainer_sparse3d.py:95-104,
+            # 165-172): collect train-time predictions this epoch and
+            # evaluate at epoch end
+            eval_this_epoch = (cfg.eval_in_train > 0 and self.mesh is None
+                               and epoch % cfg.eval_in_train == 0)
+            epoch_preds, epoch_gts = [], []
             # per-epoch shuffle (reference: DataLoader shuffle=True on
             # train, data3d/data.py:36)
             order = list(shuffle_rng.permutation(len(scenes)))
@@ -283,9 +300,17 @@ class Trainer:
                         for k in padded[0]}
                 rng, key = jax.random.split(rng)
                 t0 = time.time()
-                state, total, losses, ok, true_num = self._step_fn(
+                state, total, losses, ok, true_num, dets = self._step_fn(
                     state, batch, key)
                 total = float(total)
+                if dets and eval_this_epoch:
+                    v = np.asarray(dets[1])
+                    epoch_preds.append({
+                        "boxes": np.asarray(dets[0])[v],
+                        "scores": np.asarray(dets[2])[v],
+                        "labels": np.asarray(dets[3])[v]})
+                    epoch_gts.append({"boxes": group[0]["gt_boxes"],
+                                      "labels": group[0]["gt_labels"]})
                 cap0 = cfg.caps.scale_caps(cfg.sparse3d.num_scales)[0]
                 if int(true_num) > cap0 and self.logger:
                     self.logger.warning(
@@ -318,6 +343,21 @@ class Trainer:
                              "opt_state": state.opt_state,
                              "step": state.step})
                 it += 1
+            if eval_this_epoch and epoch_preds:
+                from detection_3d_tpu.evaluation.detection_eval import \
+                    evaluate_detections
+                aug = {"target_Y": cfg.test.eval_aug_thickness_y_tar_anc[0],
+                       "anchor_Y": cfg.test.eval_aug_thickness_y_tar_anc[1],
+                       "target_Z": cfg.test.eval_aug_thickness_z_tar_anc[0],
+                       "anchor_Z": cfg.test.eval_aug_thickness_z_tar_anc[1]}
+                res = evaluate_detections(
+                    epoch_preds, epoch_gts, cfg.num_classes,
+                    cfg.test.iou_threshold, eval_aug_thickness=aug,
+                    class_names=cfg.ordered_class_names())
+                self.last_train_eval = res
+                if self.logger:
+                    self.logger.info("eval-in-train epoch %d:\n%s", epoch,
+                                     res.summary())
             if (epoch + 1) % ckpt_period == 0:
                 self.checkpointer.save(
                     f"model_{epoch:07d}",

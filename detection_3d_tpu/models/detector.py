@@ -114,6 +114,19 @@ class SparseRCNN(nn.Module):
                 else:
                     losses[f"loss_classifier_roi_{gi}"] = cl
                     losses[f"loss_box_reg_roi_{gi}"] = bl
+                if cfg.eval_in_train:
+                    # postprocess the NON-GT sampled rows into train-time
+                    # predictions (box_head.py:118-127 removes the
+                    # gt-added proposals first — here: mask them invalid)
+                    nogt = Boxes3D(
+                        sampled.boxes,
+                        sampled.valid & (sampled.fields["is_gt"] < 0.5),
+                        sampled.fields)
+                    nc_g = (len(grouped_class_ids(cfg)[gi]) if g > 1
+                            else nc_total)
+                    results.append(postprocess(
+                        cfg, nogt, cls_logits, box_reg, nc_g,
+                        cfg.roi_detections_per_img))
             else:
                 cls_logits, box_reg = roi_head(roi_maps, proposals)
                 if g > 1:
@@ -127,6 +140,10 @@ class SparseRCNN(nn.Module):
                 results.append(det)
 
         if is_train:
+            if cfg.eval_in_train and results:
+                merged = (results[0] if g == 1
+                          else merge_group_detections(cfg, results))
+                return losses, merged
             return losses, results
         if g == 1:
             return results[0]

@@ -155,3 +155,19 @@ def test_config_validate_rejects_silent_noops():
     from detection_3d_tpu.config.defaults import SolverConfig
     with pytest.raises(NotImplementedError):
         tiny_cfg(solver=SolverConfig(track_running_stats=True)).validate()
+
+
+def test_eval_in_train_accumulation(scene, tmp_path):
+    """cfg.eval_in_train: the train step postprocesses non-GT sampled
+    proposals into predictions and the Trainer evaluates at epoch end
+    (box_head.py:118-127, trainer_sparse3d.py:95-104,165-172)."""
+    from detection_3d_tpu.engine.trainer import Trainer
+
+    cfg = tiny_cfg(eval_in_train=1).validate()
+    trainer = Trainer(cfg, output_dir=str(tmp_path))
+    state = trainer.init_state(scene, iters_per_epoch=1)
+    trainer.train([scene], state, epochs=1)
+    res = trainer.last_train_eval
+    assert res is not None
+    assert len(res.n_gt) == cfg.num_classes
+    assert res.n_gt[1:].sum() > 0  # gts were counted

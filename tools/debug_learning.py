@@ -105,7 +105,7 @@ def main():
     rngk = jax.random.PRNGKey(42)
     for it in range(120):
         rngk, key = jax.random.split(rngk)
-        state, total, losses, ok, _ = trainer._step_fn(state, batch, key)
+        state, total, losses, ok, _, _ = trainer._step_fn(state, batch, key)
         if it % 20 == 0 or it == 119:
             ls = {k: round(float(v), 4) for k, v in losses.items()}
             print(f"it {it:3d} total={float(total):.4f} ok={bool(ok)} {ls}")
