@@ -99,10 +99,28 @@ def synthetic_building(seed: int = 0, num_points: int = 60_000,
     areas = np.max(sizes, 1) * np.median(sizes, 1)
     weights = areas / areas.sum()
     counts = (weights * num_points).astype(int)
+    opening_ids = [i for i, l in enumerate(labels)
+                   if l in (name2lab.get("door", -1),
+                            name2lab.get("window", -1))]
     pts = []
     for i, b in enumerate(boxes_std):
-        pts.append(_box_surface_points(
-            rng, b[:3], b[3:6], b[6], max(counts[i], 10)))
+        p = _box_surface_points(rng, b[:3], b[3:6], b[6],
+                                max(counts[i], 10))
+        if labels[i] == name2lab["wall"] and opening_ids:
+            # cut door/window openings out of the wall surfaces — real
+            # scans have holes where the opening geometry replaces the
+            # wall (suncg renders the actual meshes)
+            keep = np.ones(p.shape[0], bool)
+            for oi in opening_ids:
+                ob = boxes_std[oi]
+                c, s = np.cos(ob[6]), np.sin(ob[6])
+                d = p[:, :2] - ob[:2]
+                lx = c * d[:, 0] - s * d[:, 1]
+                inside = (np.abs(lx) < ob[3] / 2) & \
+                    (np.abs(p[:, 2] - ob[2]) < ob[5] / 2)
+                keep &= ~inside
+            p = p[keep]
+        pts.append(p)
     pts = np.concatenate(pts, 0).astype(np.float32)
     pts += rng.normal(0, 0.004, pts.shape).astype(np.float32)  # sensor noise
 

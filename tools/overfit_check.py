@@ -1,12 +1,25 @@
 #!/usr/bin/env python
-"""Overfit one synthetic building and verify the detector finds its boxes.
+"""Overfit synthetic buildings and verify the detector finds their boxes.
 
 The reference's integration-test pattern is config-driven small-data runs
 (SURVEY.md section 4; configs/*_SD.yaml with 1-5 scenes): train until the
-model overfits, then eval on the same scene. This script does that
-end-to-end with the jitted train step and reports AP/AIoU.
+model overfits, then eval on the same scenes. This script does that
+end-to-end with the jitted train step and GATES ON PER-CLASS AP — the
+reference's bar is nonzero AP for every class (README.md:23), not the
+wall-dominated mean.
 
-Usage: python tools/overfit_check.py [--steps 300] [--cpu]
+Modes:
+  default         one 6-class building (6c analogue)
+  --scenes N      N buildings (the _SD multi-scene analogue)
+  --groups        separate-classifier groups [['wall'],['ceiling','floor']]
+                  (the 3G6c analogue, configs/3G6c/*.yaml:9)
+
+Anchor sizes are class-matched like the reference 6c config
+(6c_Fpn4321_bs1_lr5.yaml ANCHOR_SIZES_3D): full-height thin for walls,
+(1.5,1.5,1.0) for windows, door-height, and a flat slab for
+ceiling/floor — verified so each class's best anchor argmaxes itself
+under criterion-2 + label thickness augmentation (otherwise low-quality
+rescue assigns the anchor to the host wall and the class never trains).
 """
 
 from __future__ import annotations
@@ -19,28 +32,16 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=4000)
-    ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--lr", type=float, default=0.01)
-    args = ap.parse_args()
-    if args.cpu:
-        os.environ["JAX_PLATFORMS"] = "cpu"
-
-    import jax
-    import numpy as np
-
+def overfit_config(groups: bool = False):
     from detection_3d_tpu.config import Config, Sparse3DConfig, CapacityConfig
     from detection_3d_tpu.config.defaults import (RPNConfig, ROIConfig,
                                                   SolverConfig)
-    from detection_3d_tpu.data.synthetic import synthetic_building
-    from detection_3d_tpu.engine.trainer import Trainer
-    from detection_3d_tpu.engine.inference import run_inference
-    from detection_3d_tpu.utils.logger import setup_logger
 
-    cfg = Config(
-        classes=("background", "wall", "door", "window"),
+    return Config(
+        classes=("background", "wall", "door", "window", "ceiling",
+                 "floor"),
+        separate_classes=((("wall",), ("ceiling", "floor"))
+                          if groups else ()),
         sparse3d=Sparse3DConfig(
             voxel_scale=25,
             voxel_full_scale=(512, 512, 128),
@@ -50,11 +51,14 @@ def main():
             nplane_map=32,
         ),
         rpn=RPNConfig(
-            rpn_scales_from_top=(3, 2),
-            rpn_3d_2d_selector=(0, 1, 2),
-            anchor_sizes_3d=((0.2, 0.9, 2.7), (0.4, 1.5, 2.7),
-                             (0.8, 2.5, 2.7)),
-            use_yaws=(1, 1, 1),
+            rpn_scales_from_top=(3, 2, 1),
+            # 3 x 3d maps + their BEV copies; pick 3d[0..2] + 2d[0]
+            rpn_3d_2d_selector=(0, 1, 2, 3),
+            anchor_sizes_3d=((0.2, 0.9, 2.7),    # wall (full height)
+                             (1.5, 1.5, 1.0),    # window
+                             (0.4, 1.2, 2.0),    # door
+                             (4.0, 4.0, 0.8)),   # ceiling/floor slab
+            use_yaws=(1, 1, 1, 0),
             fpn_pre_nms_top_n_train=512, fpn_pre_nms_top_n_test=512,
             fpn_post_nms_top_n_train=128, fpn_post_nms_top_n_test=128,
             batch_size_per_image=128,
@@ -65,38 +69,66 @@ def main():
             mlp_head_dim=128,
         ),
         backbone_out_channels=32,
-        solver=SolverConfig(base_lr=args.lr, warmup_epochs=10,
+        solver=SolverConfig(base_lr=0.01, warmup_epochs=10,
                             lr_step_epochs=(10000,), epochs=1,
                             checkpoint_period_epochs=100000),
         caps=CapacityConfig(max_points=30_000,
                             voxel_caps=(32768, 16384, 8192, 4096, 2048),
-                            max_gt=16),
+                            max_gt=24),
         output_dir="/tmp/overfit_check",
-    )
+    ).validate()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--scenes", type=int, default=1,
+                    help="number of buildings (the _SD analogue)")
+    ap.add_argument("--groups", action="store_true",
+                    help="separate-classifier 3G6c analogue")
+    args = ap.parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from detection_3d_tpu.data.synthetic import synthetic_building
+    from detection_3d_tpu.engine.trainer import Trainer, pad_scene
+    from detection_3d_tpu.engine.inference import run_inference
+    from detection_3d_tpu.utils.logger import setup_logger
+
+    cfg = overfit_config(groups=args.groups)
+    if args.lr:
+        import dataclasses
+        cfg = cfg.replace(
+            solver=dataclasses.replace(cfg.solver, base_lr=args.lr))
 
     logger = setup_logger("overfit")
-    scene = synthetic_building(seed=0, num_points=25_000, room=6.0,
-                               classes=cfg.classes,
-                               voxel_scale=cfg.sparse3d.voxel_scale)
-    logger.info("scene: %d points, %d gt boxes", scene["points"].shape[0],
-                scene["gt_boxes"].shape[0])
-
-    import jax.numpy as jnp
-    from detection_3d_tpu.engine.trainer import pad_scene
+    scenes = [synthetic_building(seed=i, num_points=25_000, room=6.0,
+                                 classes=cfg.classes,
+                                 voxel_scale=cfg.sparse3d.voxel_scale)
+              for i in range(args.scenes)]
+    logger.info("%d scene(s); scene0: %d points, %d gt boxes",
+                len(scenes), scenes[0]["points"].shape[0],
+                scenes[0]["gt_boxes"].shape[0])
 
     trainer = Trainer(cfg, logger=logger)
-    state = trainer.init_state(scene, iters_per_epoch=1)
+    state = trainer.init_state(scenes[0], iters_per_epoch=1)
     step_fn = trainer._build_step()
-    batch = {k: jnp.asarray(v) for k, v in pad_scene(cfg, scene).items()}
+    batches = [{k: jnp.asarray(v) for k, v in pad_scene(cfg, s).items()}
+               for s in scenes]
 
-    # scan multi-step: removes per-step dispatch overhead (single-scene
-    # overfit uses the same batch every iteration)
+    # scan multi-step per scene chunk: removes per-step dispatch overhead
     @jax.jit
-    def multi_step(state, rng, _k=100):
+    def multi_step(state, batch, rng, _k=100):
         def body(carry, i):
             st, key = carry
             key, sub = jax.random.split(key)
-            st, total, _, _, _ = step_fn(st, batch, sub)
+            st, total, _, _, _, _ = step_fn(st, batch, sub)
             return (st, key), total
         (state, _), totals = jax.lax.scan(body, (state, rng),
                                           jnp.arange(_k))
@@ -105,22 +137,40 @@ def main():
     t0 = time.time()
     rng = jax.random.PRNGKey(7)
     done = 0
+    si = 0
     while done < args.steps:
         rng, sub = jax.random.split(rng)
-        state, totals = multi_step(state, sub)
+        state, totals = multi_step(state, batches[si % len(batches)], sub)
+        si += 1
         done += 100
-        logger.info("step %d loss %.4f", done, float(totals[-1]))
+        if done % 500 == 0:
+            logger.info("step %d loss %.4f", done, float(totals[-1]))
     logger.info("trained %d steps in %.1fs", done, time.time() - t0)
     trainer.checkpointer.save("model_final", {
         "params": state.params, "opt_state": state.opt_state,
         "step": jnp.asarray(done)})
 
-    _, result, spb = run_inference(cfg, state.params, [scene, scene],
+    _, result, spb = run_inference(cfg, state.params,
+                                   scenes if len(scenes) > 1
+                                   else [scenes[0], scenes[0]],
                                    logger=logger)
     print("\n" + result.summary())
     print(f"\nmean AP: {result.ap[0]:.4f}  mean AIoU: {result.aiou[0]:.4f}")
     print(f"sec/building: {spb:.3f}")
-    ok = result.ap[0] > 0.5
+
+    # gate on PER-CLASS AP: every foreground class present in the gt must
+    # be learned (nan AP = no predictions of that class at all)
+    names = cfg.ordered_class_names()
+    per_class_ok = True
+    for l in range(1, cfg.num_classes):
+        if result.n_gt[l] == 0:
+            continue
+        apl = result.ap[l]
+        ok_l = np.isfinite(apl) and apl > 0.3
+        print(f"  class {names[l]:8s} AP={apl:.3f} "
+              f"{'ok' if ok_l else 'FAIL'}")
+        per_class_ok &= ok_l
+    ok = per_class_ok and result.ap[0] > 0.5
     print("OVERFIT CHECK:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
