@@ -91,21 +91,40 @@ def build_pyramid(table0: SparseTensor, cfg: Config) -> Dict[str, Any]:
         # dense 3D grid when it fits; otherwise a dense xy-column grid
         return t.with_dense_grid(budget).with_xy_grid(xy_budget)
 
+    # on TPU backends, conv rulebooks are precomputed into windowed
+    # fast-conv form ONCE per scale and shared by every conv at that
+    # scale (the (K, V) offset arrays are large; rebuilding/re-laying
+    # them out per conv call costs more than the conv kernel itself)
+    import jax as _jax
+    from detection_3d_tpu.ops.pallas.gather_conv_kernel import (
+        windowed_rulebook,
+    )
+    use_fast = _jax.default_backend() == "tpu"
+
+    def fast_rb(idx, dest_table, v_in):
+        if use_fast and v_in >= 1024:
+            return windowed_rulebook(idx, dest_table.row_valid, v_in)
+        return idx
+
     tables = [accel(table0)]
     down_rb = []
     for k in range(1, n_scales):
         kernel, stride = s3d.kernels[k - 1], s3d.strides[k - 1]
         t = downsample_table(tables[-1], kernel, stride, caps[k])
         t = accel(t)
-        down_rb.append(conv_rulebook(t, tables[-1], kernel, stride))
+        down_rb.append(fast_rb(conv_rulebook(t, tables[-1], kernel, stride),
+                               t, tables[-1].capacity))
         tables.append(t)
 
-    subm_idx = [neighbor_indices(t, offs3) for t in tables]
+    subm_idx = [fast_rb(neighbor_indices(t, offs3), t, t.capacity)
+                for t in tables]
 
     up_rb = []
     for k in range(n_scales - 1, 0, -1):
         kernel, stride = s3d.kernels[k - 1], s3d.strides[k - 1]
-        up_rb.append(deconv_rulebook(tables[k - 1], tables[k], kernel, stride))
+        up_rb.append(fast_rb(
+            deconv_rulebook(tables[k - 1], tables[k], kernel, stride),
+            tables[k - 1], tables[k].capacity))
 
     bev = {}
     for slot, i_from_top in enumerate(cfg.rpn.rpn_scales_from_top):

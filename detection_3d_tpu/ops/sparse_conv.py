@@ -63,15 +63,24 @@ def gather_conv(feats, neighbor_idx, weights, out_valid,
     return out.astype(feats.dtype)
 
 
+def _best_conv(feats, idx, weights, out_valid):
+    """Route to the Pallas windowed-gather kernel on TPU (falls back to
+    the XLA scan-gather path off-TPU / on unsupported shapes)."""
+    from detection_3d_tpu.ops.pallas.gather_conv_kernel import (
+        windowed_gather_conv,
+    )
+    return windowed_gather_conv(feats, idx, weights, out_valid)
+
+
 def submanifold_conv(table_feats, neighbor_idx, weights, out_valid):
     """Submanifold conv: output sites == input sites; neighbor_idx from
     ``neighbor_indices(table, submanifold_offsets(kernel))``."""
-    return gather_conv(table_feats, neighbor_idx, weights, out_valid)
+    return _best_conv(table_feats, neighbor_idx, weights, out_valid)
 
 
 def strided_conv(in_feats, rulebook_idx, weights, out_valid):
     """Strided (downsampling) conv: rulebook from ``conv_rulebook``."""
-    return gather_conv(in_feats, rulebook_idx, weights, out_valid)
+    return _best_conv(in_feats, rulebook_idx, weights, out_valid)
 
 
 def deconv(in_feats, rulebook_idx, weights, out_valid):
@@ -81,7 +90,7 @@ def deconv(in_feats, rulebook_idx, weights, out_valid):
     is the coarse site o with fine_coord(x) == o*stride + offset_k (SCN
     reverses the forward rulebook, SCN/CUDA/Deconvolution.cu — here the
     reversed book is just a different gather table)."""
-    return gather_conv(in_feats, rulebook_idx, weights, out_valid)
+    return _best_conv(in_feats, rulebook_idx, weights, out_valid)
 
 
 @functools.partial(jax.jit, static_argnames=("kernel", "stride"))

@@ -59,13 +59,17 @@ def overfit_config(groups: bool = False):
                              (0.4, 1.2, 2.0),    # door
                              (4.0, 4.0, 0.8)),   # ceiling/floor slab
             use_yaws=(1, 1, 1, 0),
-            fpn_pre_nms_top_n_train=512, fpn_pre_nms_top_n_test=512,
-            fpn_post_nms_top_n_train=128, fpn_post_nms_top_n_test=128,
-            batch_size_per_image=128,
+            # reference-proportioned budgets (defaults.py:150-168): the
+            # synthetic scene has ~1430 positive anchors dominated by the
+            # ~700-each floor/ceiling slab matches — a 512 pre-NMS top-k
+            # drops every wall/door/window proposal before NMS ever runs
+            fpn_pre_nms_top_n_train=2048, fpn_pre_nms_top_n_test=2048,
+            fpn_post_nms_top_n_train=512, fpn_post_nms_top_n_test=512,
+            batch_size_per_image=256,
         ),
         roi=ROIConfig(
             pooler_scales_from_top=(3, 2),
-            batch_size_per_image=128, detections_per_img=32,
+            batch_size_per_image=256, detections_per_img=64,
             mlp_head_dim=128,
         ),
         backbone_out_channels=32,
