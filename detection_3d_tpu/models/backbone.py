@@ -160,6 +160,7 @@ class NiN(nn.Module):
 
 class BNLeakyReLU(nn.Module):
     leakiness: float = 0.0
+    sp_axis: str = None   # spatial-sharding mesh axis: psum batch stats
 
     @nn.compact
     def __call__(self, feats, valid):
@@ -167,13 +168,15 @@ class BNLeakyReLU(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         return batch_norm_leaky_relu(feats, valid, scale, bias,
-                                     leakiness=self.leakiness)
+                                     leakiness=self.leakiness,
+                                     axis_name=self.sp_axis)
 
 
 class ResidualBlock(nn.Module):
     """ConcatTable(identity|NiN, BN->Conv->BN->Conv) + Add
     (fpn_net.py:60-69)."""
     features: int
+    sp_axis: str = None
 
     @nn.compact
     def __call__(self, feats, nidx, valid):
@@ -182,9 +185,9 @@ class ResidualBlock(nn.Module):
             shortcut = feats
         else:
             shortcut = NiN(self.features, name="shortcut")(feats, valid)
-        h = BNLeakyReLU(name="bn1")(feats, valid)
+        h = BNLeakyReLU(name="bn1", sp_axis=self.sp_axis)(feats, valid)
         h = SubmConv(self.features, name="conv1")(h, nidx, valid)
-        h = BNLeakyReLU(name="bn2")(h, valid)
+        h = BNLeakyReLU(name="bn2", sp_axis=self.sp_axis)(h, valid)
         h = SubmConv(self.features, name="conv2")(h, nidx, valid)
         return shortcut + h
 
@@ -193,10 +196,11 @@ class DownLayer(nn.Module):
     """BN-LReLU + strided conv (fpn_net.py:77-84)."""
     features: int
     kernel_volume: int
+    sp_axis: str = None
 
     @nn.compact
     def __call__(self, feats, rulebook, in_valid, out_valid):
-        h = BNLeakyReLU(name="bn")(feats, in_valid)
+        h = BNLeakyReLU(name="bn", sp_axis=self.sp_axis)(feats, in_valid)
         w = self.param("w", _he_init,
                        (self.kernel_volume, feats.shape[-1], self.features))
         return strided_conv(h, rulebook, w.astype(h.dtype), out_valid)
@@ -206,10 +210,11 @@ class UpLayer(nn.Module):
     """BN-LReLU + deconv (fpn_net.py:86-92)."""
     features: int
     kernel_volume: int
+    sp_axis: str = None
 
     @nn.compact
     def __call__(self, feats, rulebook, in_valid, out_valid):
-        h = BNLeakyReLU(name="bn")(feats, in_valid)
+        h = BNLeakyReLU(name="bn", sp_axis=self.sp_axis)(feats, in_valid)
         w = self.param("w", _he_init,
                        (self.kernel_volume, feats.shape[-1], self.features))
         return deconv(h, rulebook, w.astype(h.dtype), out_valid)
@@ -234,6 +239,7 @@ class SparseFPN(nn.Module):
     SparseTensor carrying nPlaneM-channel features.
     """
     cfg: Config
+    sp_axis: str = None   # spatial-sharding mesh axis (parallel/spatial)
 
     @nn.compact
     def __call__(self, table0: SparseTensor, pyramid: Dict[str, Any]):
@@ -246,7 +252,9 @@ class SparseFPN(nn.Module):
         tables: List[SparseTensor] = pyramid["tables"]
         subm_idx = pyramid["subm_idx"]
 
-        valids = [t.row_valid for t in tables]
+        # spatial sharding: "valid" for losses/BN/outputs = rows OWNED by
+        # this shard (halo rows are neighbor-owned copies)
+        valids = pyramid.get("own_valid") or [t.row_valid for t in tables]
 
         # ---- input layer: 3^3 subm conv raw_channels -> nPlanesF[0]
         # (fpn_net.py:42-44)
@@ -259,14 +267,17 @@ class SparseFPN(nn.Module):
             if k > 0:
                 kv = (s3d.kernels[k - 1][0] * s3d.kernels[k - 1][1]
                       * s3d.kernels[k - 1][2])
-                h = DownLayer(n_planes[k], kv, name=f"down{k}")(
+                h = DownLayer(n_planes[k], kv, name=f"down{k}",
+                              sp_axis=self.sp_axis)(
                     h, pyramid["down_rb"][k - 1], valids[k - 1], valids[k])
             for r in range(reps):
                 if s3d.residual_block:
-                    h = ResidualBlock(n_planes[k], name=f"block{k}_{r}")(
+                    h = ResidualBlock(n_planes[k], name=f"block{k}_{r}",
+                                      sp_axis=self.sp_axis)(
                         h, subm_idx[k], valids[k])
                 else:
-                    hh = BNLeakyReLU(name=f"vgg_bn{k}_{r}")(h, valids[k])
+                    hh = BNLeakyReLU(name=f"vgg_bn{k}_{r}",
+                                     sp_axis=self.sp_axis)(h, valids[k])
                     h = SubmConv(n_planes[k], name=f"vgg_conv{k}_{r}")(
                         hh, subm_idx[k], valids[k])
             downs.append(h)
@@ -278,7 +289,7 @@ class SparseFPN(nn.Module):
         for i, k in enumerate(range(n_scales - 1, 0, -1)):
             j = k - 1
             kv = (s3d.kernels[j][0] * s3d.kernels[j][1] * s3d.kernels[j][2])
-            net = UpLayer(n_map, kv, name=f"up{j}")(
+            net = UpLayer(n_map, kv, name=f"up{j}", sp_axis=self.sp_axis)(
                 net, pyramid["up_rb"][i], valids[k], valids[j])
             sc = NiN(n_map, name=f"shortcut{j}")(downs[j], valids[j])
             net = net + sc

@@ -29,19 +29,22 @@ from detection_3d_tpu.models.structures import Boxes3D
 from detection_3d_tpu.ops.sparse import SparseTensor, build_sparse_tensor
 
 
-def voxelize_points(cfg: Config, points_xyz, feats, valid) -> SparseTensor:
+def voxelize_points(cfg: Config, points_xyz, feats, valid,
+                    capacity: int = None) -> SparseTensor:
     """Continuous scaled coords -> deduplicated voxel table.
 
     The dataset already scales xyz by voxel_scale and shifts min to 0
     (suncg_dataset.py:115-137); here we floor to int voxels and
-    dedup-average (InputLayer mode=4 semantics).
+    dedup-average (InputLayer mode=4 semantics). ``capacity`` overrides
+    the configured scale-0 table size (spatial shards use a fraction).
     """
     coords = jnp.floor(points_xyz).astype(jnp.int32)
     coords4 = jnp.concatenate(
         [coords, jnp.zeros((coords.shape[0], 1), jnp.int32)], axis=-1)
-    caps = cfg.caps.scale_caps(cfg.sparse3d.num_scales)
+    if capacity is None:
+        capacity = cfg.caps.scale_caps(cfg.sparse3d.num_scales)[0]
     return build_sparse_tensor(coords4, feats, valid,
-                               cfg.sparse3d.voxel_full_scale, 1, caps[0])
+                               cfg.sparse3d.voxel_full_scale, 1, capacity)
 
 
 class SparseRCNN(nn.Module):

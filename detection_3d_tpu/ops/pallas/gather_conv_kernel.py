@@ -314,10 +314,11 @@ def windowed_gather_conv(feats, rulebook, weights, out_valid,
     from detection_3d_tpu.ops.sparse_conv import gather_conv
 
     v_in, cin = feats.shape
-    idx = rulebook["idx"] if isinstance(rulebook, dict) else rulebook
+    is_dict = isinstance(rulebook, dict)
+    idx = rulebook["idx"] if is_dict else rulebook
     if not interpret and not supported(feats, idx.shape[0]):
         return gather_conv(feats, idx, weights, out_valid)
-    if not isinstance(rulebook, dict):
+    if not is_dict or "starts" not in rulebook:
         rulebook = windowed_rulebook(idx, out_valid, v_in)
     cin_p = _pad_cin(cin)
     if cin_p != cin:

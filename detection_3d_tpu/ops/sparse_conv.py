@@ -63,13 +63,23 @@ def gather_conv(feats, neighbor_idx, weights, out_valid,
     return out.astype(feats.dtype)
 
 
-def _best_conv(feats, idx, weights, out_valid):
+def _best_conv(feats, rulebook, weights, out_valid):
     """Route to the Pallas windowed-gather kernel on TPU (falls back to
-    the XLA scan-gather path off-TPU / on unsupported shapes)."""
+    the XLA scan-gather path off-TPU / on unsupported shapes).
+
+    ``rulebook`` may be a plain (K, V) index array or a dict from
+    build_pyramid: {"idx", [windowed fields], ["halo"]}. A "halo" entry
+    (parallel/spatial.HaloExchange) means the voxel table is spatially
+    sharded over a mesh axis: halo rows are refreshed from the
+    neighboring shards (ppermute over ICI) right before the gather — the
+    spatial-sharding analogue of a context-parallel halo exchange.
+    """
     from detection_3d_tpu.ops.pallas.gather_conv_kernel import (
         windowed_gather_conv,
     )
-    return windowed_gather_conv(feats, idx, weights, out_valid)
+    if isinstance(rulebook, dict) and rulebook.get("halo") is not None:
+        feats = rulebook["halo"].refresh(feats)
+    return windowed_gather_conv(feats, rulebook, weights, out_valid)
 
 
 def submanifold_conv(table_feats, neighbor_idx, weights, out_valid):

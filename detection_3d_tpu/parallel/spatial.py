@@ -1,0 +1,285 @@
+"""Spatial sharding of one building across the device mesh (halo exchange).
+
+The "context parallelism" slot of the TPU design (SURVEY.md section 5):
+when one building's voxel set exceeds a chip's HBM, shard the voxels
+SPATIALLY over a 1-D ``sp`` mesh axis by contiguous x-slabs and run the
+sparse-conv trunk with halo exchange over ICI. The reference has no
+counterpart (strictly single-GPU per building, IMS_PER_BATCH=1 —
+/root/reference/tools/train_net_sparse3d.py:52-57); this is the scaling
+dimension the CUDA design could not express.
+
+Design (all static shapes, shard_map-compatible):
+
+  * shard d owns x in [d*w_s, (d+1)*w_s) at scale s (w_s = X_s / D; slab
+    boundaries stay aligned across scales because strides are powers of
+    2 and X is divisible by D * prod(strides));
+  * per scale, each shard's table is EXTENDED with one halo column from
+    each neighbor (x = slab_lo - 1 and slab_hi + 1) — enough for 3^3
+    submanifold convs and 2^3 deconvs; topology (coords) is exchanged
+    once per scale via ``jax.lax.ppermute``;
+  * per conv, halo FEATURES are refreshed from the neighbors right
+    before the gather (:class:`HaloExchange` — wired into
+    ops/sparse_conv._best_conv via the rulebook dict), because each
+    layer's halo must carry the neighbor's current activations;
+  * rows are key-sorted, so a shard's boundary column and the matching
+    halo column enumerate sites in the same (y, z) order — the ppermute
+    payload needs no re-matching on the receiving side;
+  * BN statistics psum over the ``sp`` axis (ops/norm.py axis_name), so
+    every shard normalizes with the global moments;
+  * conv/BN/loss validity = "own" rows only (halo rows are
+    neighbor-owned copies).
+
+`spatial_fpn_apply` runs the full SparseFPN trunk under shard_map and
+returns per-shard rpn/roi maps plus own-masks; `tests/test_spatial.py`
+checks bit-level parity of every owned feature row against the
+single-device run on a CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from detection_3d_tpu.config.defaults import Config
+from detection_3d_tpu.models.backbone import (
+    SparseFPN, bev_collapse_table, bev_rulebook,
+)
+from detection_3d_tpu.ops.sparse import (
+    SparseTensor, build_sparse_tensor, submanifold_offsets,
+    neighbor_indices, downsample_table, conv_rulebook,
+)
+from detection_3d_tpu.ops.sparse_conv import deconv_rulebook
+
+
+def _compact(mask, cap: int):
+    """Positions of the first ``cap`` True rows (row-order preserving).
+
+    Returns (idx (cap,), ok (cap,)): ok[i] = slot i holds a real row.
+    """
+    n = mask.shape[0]
+    order = jnp.argsort(
+        jnp.where(mask, jnp.arange(n, dtype=jnp.int32), n))
+    idx = order[:cap]
+    count = jnp.sum(mask.astype(jnp.int32))
+    ok = jnp.arange(cap) < jnp.minimum(count, cap)
+    return jnp.where(ok, idx, n - 1).astype(jnp.int32), ok
+
+
+@jax.tree_util.register_pytree_node_class
+class HaloExchange:
+    """Per-scale feature refresh across the ``sp`` axis.
+
+    Boundary rows (x == slab edge) of each shard are copied into the
+    neighboring shards' halo rows with two ``ppermute`` shifts. Both
+    sides enumerate the shared column in sorted (y, z) order, so slot i
+    of the payload is slot i of the receiver's halo — no matching.
+    """
+
+    def __init__(self, axis: str, n_shards: int, send_lo, send_lo_ok,
+                 send_hi, send_hi_ok, recv_lo, recv_lo_ok, recv_hi,
+                 recv_hi_ok):
+        self.axis = axis
+        self.n_shards = n_shards
+        self.send_lo = send_lo      # my x == slab_lo rows (to left nbr)
+        self.send_lo_ok = send_lo_ok
+        self.send_hi = send_hi      # my x == slab_hi rows (to right nbr)
+        self.send_hi_ok = send_hi_ok
+        self.recv_lo = recv_lo      # my x == slab_lo - 1 halo rows
+        self.recv_lo_ok = recv_lo_ok
+        self.recv_hi = recv_hi      # my x == slab_hi + 1 halo rows
+        self.recv_hi_ok = recv_hi_ok
+
+    def tree_flatten(self):
+        children = (self.send_lo, self.send_lo_ok, self.send_hi,
+                    self.send_hi_ok, self.recv_lo, self.recv_lo_ok,
+                    self.recv_hi, self.recv_hi_ok)
+        return children, (self.axis, self.n_shards)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], aux[1], *children)
+
+    def refresh(self, feats):
+        d = self.n_shards
+        cap = feats.shape[0]
+        to_left = jnp.where(self.send_lo_ok[:, None],
+                            feats[self.send_lo], 0)
+        to_right = jnp.where(self.send_hi_ok[:, None],
+                             feats[self.send_hi], 0)
+        # shard i's lo-edge rows become shard i-1's hi halo, and its
+        # hi-edge rows become shard i+1's lo halo
+        from_right = jax.lax.ppermute(
+            to_left, self.axis, [(i, i - 1) for i in range(1, d)])
+        from_left = jax.lax.ppermute(
+            to_right, self.axis, [(i, i + 1) for i in range(d - 1)])
+        ilo = jnp.where(self.recv_lo_ok, self.recv_lo, cap)
+        ihi = jnp.where(self.recv_hi_ok, self.recv_hi, cap)
+        feats = feats.at[ilo].set(from_left, mode="drop")
+        feats = feats.at[ihi].set(from_right, mode="drop")
+        return feats
+
+
+def _extend_with_halo(own: SparseTensor, slab_lo, slab_hi, halo_cap: int,
+                      axis: str, n_shards: int):
+    """Exchange boundary COLUMNS (topology) and build the extended table.
+
+    Returns (ext_table, own_mask, halo: HaloExchange).
+    """
+    x = own.coords[:, 0]
+    ov = own.row_valid
+    lo_mask = ov & (x == slab_lo)
+    hi_mask = ov & (x == slab_hi)
+    # halo_cap = Y_s * Z_s is a hard upper bound (one x column); smaller
+    # caps are allowed for memory — overflow is surfaced to the caller
+    overflow = jnp.maximum(jnp.sum(lo_mask.astype(jnp.int32)),
+                           jnp.sum(hi_mask.astype(jnp.int32))) > halo_cap
+    sl_idx, sl_ok = _compact(lo_mask, halo_cap)
+    sh_idx, sh_ok = _compact(hi_mask, halo_cap)
+    cl = jnp.where(sl_ok[:, None], own.coords[sl_idx], -1)
+    ch = jnp.where(sh_ok[:, None], own.coords[sh_idx], -1)
+    perm_dn = [(i, i - 1) for i in range(1, n_shards)]
+    perm_up = [(i, i + 1) for i in range(n_shards - 1)]
+    halo_hi_c = jax.lax.ppermute(cl, axis, perm_dn)   # right nbr's lo col
+    halo_hi_ok = jax.lax.ppermute(sl_ok, axis, perm_dn)
+    halo_lo_c = jax.lax.ppermute(ch, axis, perm_up)   # left nbr's hi col
+    halo_lo_ok = jax.lax.ppermute(sh_ok, axis, perm_up)
+
+    coords = jnp.concatenate([own.coords, halo_lo_c, halo_hi_c], axis=0)
+    valid = jnp.concatenate([ov, halo_lo_ok, halo_hi_ok], axis=0)
+    cap_ext = own.capacity + 2 * halo_cap
+    nch = own.feats.shape[-1]
+    feats = jnp.concatenate(
+        [own.feats, jnp.zeros((2 * halo_cap, nch), own.feats.dtype)],
+        axis=0)
+    ext = build_sparse_tensor(coords, feats, valid, own.spatial_size,
+                              own.batch_size, cap_ext, reduce="sum")
+
+    ex = ext.coords[:, 0]
+    ev = ext.row_valid
+    own_mask = ev & (ex >= slab_lo) & (ex <= slab_hi)
+    s_lo, s_lo_ok = _compact(ev & (ex == slab_lo), halo_cap)
+    s_hi, s_hi_ok = _compact(ev & (ex == slab_hi), halo_cap)
+    r_lo, r_lo_ok = _compact(ev & (ex == slab_lo - 1), halo_cap)
+    r_hi, r_hi_ok = _compact(ev & (ex == slab_hi + 1), halo_cap)
+    halo = HaloExchange(axis, n_shards, s_lo, s_lo_ok, s_hi, s_hi_ok,
+                        r_lo, r_lo_ok, r_hi, r_hi_ok)
+    return ext, own_mask, halo, overflow
+
+
+def _own_only(table: SparseTensor, own_mask) -> SparseTensor:
+    """A view whose non-own rows can't produce downsample candidates."""
+    coords = jnp.where(own_mask[:, None], table.coords, -1)
+    return SparseTensor(coords, table.feats, table.hi, table.lo,
+                        table.num, table.spatial_size, table.batch_size)
+
+
+def build_spatial_pyramid(cfg: Config, points, feats, points_valid,
+                          axis: str, n_shards: int,
+                          shard_caps, halo_caps) -> Dict[str, Any]:
+    """Per-shard pyramid over extended (own + halo) tables.
+
+    Runs INSIDE shard_map. Each shard voxelizes only its x-slab's points
+    (callers pass the full replicated point cloud; ownership is decided
+    here by slab masking). Returns the build_pyramid dict layout plus
+    ``own_valid`` masks; conv rulebooks carry HaloExchange objects so
+    the unmodified SparseFPN runs spatially sharded.
+    """
+    from detection_3d_tpu.models.detector import voxelize_points
+
+    s3d = cfg.sparse3d
+    n_scales = s3d.num_scales
+    X = s3d.voxel_full_scale[0]
+    d = jax.lax.axis_index(axis)
+    offs3 = submanifold_offsets((3, 3, 3))
+
+    # voxelize own slab only (points arrive pre-scaled to voxel units)
+    w0 = X // n_shards
+    vox_x = jnp.floor(points[:, 0]).astype(jnp.int32)
+    in_slab = (vox_x >= d * w0) & (vox_x < (d + 1) * w0)
+    own0 = voxelize_points(cfg, points, feats, points_valid & in_slab,
+                           capacity=shard_caps[0])
+
+    tables: List[SparseTensor] = []
+    own_valid = []
+    halos = []
+    own_tables = [own0]
+    halo_overflow = jnp.zeros((), bool)
+    for s in range(n_scales):
+        w_s = (X >> s) // n_shards
+        ext, own_m, halo, ovf = _extend_with_halo(
+            own_tables[s], d * w_s, (d + 1) * w_s - 1, halo_caps[s],
+            axis, n_shards)
+        halo_overflow |= ovf
+        tables.append(ext)
+        own_valid.append(own_m)
+        halos.append(halo)
+        if s + 1 < n_scales:
+            own_next = downsample_table(_own_only(ext, own_m),
+                                        s3d.kernels[s], s3d.strides[s],
+                                        shard_caps[s + 1])
+            own_tables.append(own_next)
+
+    subm_idx = [{"idx": neighbor_indices(t, offs3), "halo": h}
+                for t, h in zip(tables, halos)]
+    down_rb = []
+    up_rb = []
+    for k in range(1, n_scales):
+        kernel, stride = s3d.kernels[k - 1], s3d.strides[k - 1]
+        # strided down-gathers stay inside the own slab — no halo needed
+        down_rb.append(
+            {"idx": conv_rulebook(tables[k], tables[k - 1], kernel,
+                                  stride), "halo": None})
+    for k in range(n_scales - 1, 0, -1):
+        kernel, stride = s3d.kernels[k - 1], s3d.strides[k - 1]
+        # deconv reads the coarse halo column ((x-1)//2 crosses the slab)
+        up_rb.append(
+            {"idx": deconv_rulebook(tables[k - 1], tables[k], kernel,
+                                    stride), "halo": halos[k]})
+
+    bev = {}
+    for slot, i_from_top in enumerate(cfg.rpn.rpn_scales_from_top):
+        scale = n_scales - 1 - i_from_top
+        t3d = tables[scale]
+        bev_t = bev_collapse_table(_own_only(t3d, own_valid[scale]),
+                                   t3d.capacity)
+        bev[slot] = (bev_t, bev_rulebook(bev_t, t3d))
+    return {"tables": tables, "subm_idx": subm_idx, "down_rb": down_rb,
+            "up_rb": up_rb, "bev": bev, "own_valid": own_valid,
+            "halo_overflow": halo_overflow}
+
+
+def spatial_fpn_apply(cfg: Config, mesh: Mesh, params, points, feats,
+                      points_valid, shard_caps, halo_caps,
+                      axis: str = "sp"):
+    """Run the SparseFPN trunk spatially sharded over ``mesh``.
+
+    Points are replicated (ownership decided per shard); returns
+    per-shard stacked (rpn_maps, roi_maps, own_valid) with a leading
+    shard dim on every array. Each map's owned rows bit-match the
+    single-device run (tests/test_spatial.py).
+    """
+    n_shards = mesh.devices.size
+    fpn = SparseFPN(cfg, sp_axis=axis)
+
+    def run(params, points, feats, points_valid):
+        pyr = build_spatial_pyramid(cfg, points, feats, points_valid,
+                                    axis, n_shards, shard_caps, halo_caps)
+        table0 = pyr["tables"][0]
+        rpn_maps, roi_maps = fpn.apply(params, table0, pyr)
+        return rpn_maps, roi_maps, pyr["own_valid"]
+
+    def run_stacked(params, points, feats, points_valid):
+        out = run(params, points, feats, points_valid)
+        return jax.tree.map(lambda a: jnp.asarray(a)[None], out)
+
+    spec = P()
+    fn = shard_map(run_stacked, mesh=mesh,
+                   in_specs=(spec, spec, spec, spec),
+                   out_specs=P(axis))
+    return fn(params, points, feats, points_valid)

@@ -1,0 +1,97 @@
+"""Spatial sharding (halo exchange) parity vs the single-device backbone.
+
+Runs the identical SparseFPN params over (a) one device and (b) a 2-shard
+``sp`` mesh where each shard owns an x-slab and exchanges halo columns
+via ppermute (parallel/spatial.py). Every OWNED output row must match
+the single-device features (same coords -> same values).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from detection_3d_tpu.config import Config, Sparse3DConfig, CapacityConfig
+from detection_3d_tpu.config.defaults import RPNConfig, ROIConfig
+from detection_3d_tpu.models.backbone import SparseFPN, build_pyramid
+from detection_3d_tpu.models.detector import voxelize_points
+from detection_3d_tpu.parallel.spatial import spatial_fpn_apply
+
+N_SHARDS = 2
+SHARD_CAPS = (2048, 1024, 512)
+HALO_CAPS = (512, 128, 32)   # Y_s * Z_s: exact upper bound
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    # 3-scale FPN on a 64 x 32 x 16 grid; X=64 divisible by 2 shards * 4
+    return Config(
+        sparse3d=Sparse3DConfig(
+            voxel_full_scale=(64, 32, 16),
+            nplanes_front=(8, 16, 16),
+            kernels=((2, 2, 2),) * 2,
+            strides=((2, 2, 2),) * 2,
+            nplane_map=16,
+        ),
+        rpn=RPNConfig(rpn_scales_from_top=(2, 1),
+                      rpn_3d_2d_selector=(0, 2, 3),
+                      anchor_sizes_3d=((0.2, 0.5, 3), (0.4, 1.5, 3),
+                                       (0.6, 2.5, 3)),
+                      use_yaws=(1, 1, 1)),
+        roi=ROIConfig(pooler_scales_from_top=(2, 1)),
+        caps=CapacityConfig(max_points=4096,
+                            voxel_caps=(4096, 2048, 1024)),
+    )
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.RandomState(3)
+    n = 2000
+    # points concentrated on a few "walls" so slab boundaries are busy
+    pts = np.c_[rng.uniform(0, 64, n), rng.uniform(0, 32, n),
+                rng.uniform(0, 16, n)].astype(np.float32)
+    pts[: n // 3, 0] = 31.0 + rng.uniform(0, 2, n // 3)  # straddle x=32
+    feats = rng.randn(n, 9).astype(np.float32)
+    valid = np.ones(n, bool)
+    return jnp.array(pts), jnp.array(feats), jnp.array(valid)
+
+
+def test_spatial_fpn_parity(cfg, scene):
+    pts, feats, valid = scene
+    table0 = voxelize_points(cfg, pts, feats, valid)
+    pyr = build_pyramid(table0, cfg)
+    fpn = SparseFPN(cfg)
+    params = fpn.init(jax.random.PRNGKey(0), table0, pyr)
+    rpn_ref, roi_ref = fpn.apply(params, table0, pyr)
+
+    mesh = Mesh(np.array(jax.devices()[:N_SHARDS]), ("sp",))
+    rpn_sp, roi_sp, own_valid = spatial_fpn_apply(
+        cfg, mesh, params, pts, feats, valid, SHARD_CAPS, HALO_CAPS)
+
+    # strict parity on roi maps (3d, own_valid indexed per scale)
+    n_scales = cfg.sparse3d.num_scales
+    for i, i_from_top in enumerate(cfg.roi.pooler_scales_from_top):
+        scale = n_scales - 1 - i_from_top
+        ref_t = roi_ref[i]
+        sp_t = roi_sp[i]
+        ref_coords = np.asarray(ref_t.coords)
+        ref_feats = np.asarray(ref_t.feats)
+        ref_valid = np.asarray(ref_t.row_valid)
+        key = {tuple(c): i2 for i2, c in enumerate(ref_coords[ref_valid])}
+        own = np.asarray(own_valid[scale])
+        total = 0
+        for d in range(N_SHARDS):
+            coords = np.asarray(sp_t.coords[d])
+            f = np.asarray(sp_t.feats[d])
+            for r in np.nonzero(own[d])[0]:
+                c = tuple(coords[r])
+                assert c in key, f"roi{i}: shard {d} row {c} not in ref"
+                np.testing.assert_allclose(
+                    f[r], ref_feats[key[c]], atol=2e-4, rtol=2e-4,
+                    err_msg=f"roi{i}: shard {d} coords {c}")
+                total += 1
+        assert total == len(key), f"roi{i}: covered {total}/{len(key)}"

@@ -52,13 +52,21 @@ def overfit_config(groups: bool = False):
         ),
         rpn=RPNConfig(
             rpn_scales_from_top=(3, 2, 1),
-            # 3 x 3d maps + their BEV copies; pick 3d[0..2] + 2d[0]
-            rpn_3d_2d_selector=(0, 1, 2, 3),
-            anchor_sizes_3d=((0.2, 0.9, 2.7),    # wall (full height)
-                             (1.5, 1.5, 1.0),    # window
-                             (0.4, 1.2, 2.0),    # door
-                             (4.0, 4.0, 0.8)),   # ceiling/floor slab
-            use_yaws=(1, 1, 1, 0),
+            # 3 x 3d maps + their 3 BEV copies
+            rpn_3d_2d_selector=(0, 1, 2, 3, 4, 5),
+            # anchor THICKNESS = the 0.4 label-aug thickness: criterion-2
+            # quality for a thin target then reduces to anchor_len /
+            # target_len (same trick as the reference 6c set,
+            # 6c_Fpn4321_bs1_lr5.yaml:12 [0.4,1.5,*] / [0.6,2.5,*]) —
+            # thinner anchors cap below the 0.55 fg threshold no matter
+            # how well-centered
+            anchor_sizes_3d=((0.4, 1.5, 2.7),    # wall (<= 2.7m pieces)
+                             (0.4, 0.9, 2.0),    # door
+                             (0.4, 1.2, 1.0),    # window
+                             (0.6, 2.5, 2.7),    # wall (<= 4.5m pieces)
+                             (4.0, 4.0, 0.8),    # ceiling/floor slab
+                             (0.2, 0.9, 2.7)),   # short wall stubs
+            use_yaws=(1, 1, 1, 1, 0, 1),
             # reference-proportioned budgets (defaults.py:150-168): the
             # synthetic scene has ~1430 positive anchors dominated by the
             # ~700-each floor/ceiling slab matches — a 512 pre-NMS top-k
