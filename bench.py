@@ -89,6 +89,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the full-scale predict compiles in
+    # minutes; repeat runs (driver, profiling) should pay it once
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     from detection_3d_tpu.data.synthetic import (
         synthetic_building, synthetic_multiroom,
     )

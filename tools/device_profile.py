@@ -11,6 +11,8 @@ import functools
 
 import numpy as np
 import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 import jax.numpy as jnp
 
 
