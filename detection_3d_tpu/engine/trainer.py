@@ -253,11 +253,17 @@ class Trainer:
         return train_step
 
     # -- the loop ----------------------------------------------------------
-    def train(self, scenes: Iterable[Dict], state: TrainState,
+    def train(self, scenes, state: TrainState,
               epochs: int, seed: int = 0,
               checkpoint_period_epochs: Optional[int] = None):
+        """``scenes``: a list of scene dicts, or a loader object with
+        ``.epoch(order)`` / ``__len__`` (data/native_loader.py — the C++
+        thread-pool prefetcher; host IO then overlaps device steps)."""
         cfg = self.cfg
-        scenes = list(scenes)
+        source = scenes if hasattr(scenes, "epoch") else None
+        if source is None:
+            scenes = list(scenes)
+        n_scenes = len(scenes)
         if self._step_fn is None:
             self._step_fn = (self._build_batched_step()
                              if self.mesh is not None
@@ -275,7 +281,7 @@ class Trainer:
         it = 0
         t_start = time.time()
         shuffle_rng = np.random.default_rng(seed + 77)
-        steps_per_epoch = -(-len(scenes) // bsz)
+        steps_per_epoch = -(-n_scenes // bsz)
         for epoch in range(epochs):
             # eval-in-train accumulation (trainer_sparse3d.py:95-104,
             # 165-172): collect train-time predictions this epoch and
@@ -285,11 +291,15 @@ class Trainer:
             epoch_preds, epoch_gts = [], []
             # per-epoch shuffle (reference: DataLoader shuffle=True on
             # train, data3d/data.py:36)
-            order = list(shuffle_rng.permutation(len(scenes)))
+            order = list(shuffle_rng.permutation(n_scenes))
             if len(order) % bsz:  # cycle-pad the final batch
                 order += order[:bsz - len(order) % bsz]
+            epoch_iter = iter(source.epoch(order)) if source else None
             for bstart in range(0, len(order), bsz):
-                group = [scenes[i] for i in order[bstart:bstart + bsz]]
+                if source:
+                    group = [next(epoch_iter) for _ in range(bsz)]
+                else:
+                    group = [scenes[i] for i in order[bstart:bstart + bsz]]
                 padded = [pad_scene(cfg, s) for s in group]
                 if self.mesh is None:
                     batch = {k: jnp.asarray(v)
