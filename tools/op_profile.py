@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Aggregate device-op profile of the full-scale predict pipeline.
+
+Runs one jitted predict under a profiler trace and prints device time
+aggregated by op kind plus the top individual ops — the round-to-round
+perf driver (which op class dominates: convs, copies, fusions, NMS...).
+
+Usage: python tools/op_profile.py [--small] [--stage backbone|full]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import functools
+import glob
+import os
+import re
+import shutil
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--stage", default="full",
+                    choices=["full", "backbone"])
+    ap.add_argument("--top", type=int, default=15)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench import full_scale_config, small_config
+    from detection_3d_tpu.data.synthetic import (
+        synthetic_building, synthetic_multiroom,
+    )
+    from detection_3d_tpu.engine.trainer import pad_scene
+    from detection_3d_tpu.engine.inference import make_predict_fn
+    from detection_3d_tpu.models.detector import SparseRCNN, voxelize_points
+    from detection_3d_tpu.models.backbone import SparseFPN, build_pyramid
+    from detection_3d_tpu.utils.xplane import (
+        plane_op_times, tpu_device_time,
+    )
+
+    if args.small:
+        cfg = small_config()
+        scene = synthetic_building(seed=0, num_points=100_000, room=10.0,
+                                   voxel_scale=cfg.sparse3d.voxel_scale)
+    else:
+        cfg = full_scale_config()
+        scene = synthetic_multiroom(seed=0, num_points=500_000,
+                                    rooms_xy=(5, 5), room=8.0,
+                                    voxel_scale=cfg.sparse3d.voxel_scale)
+    model = SparseRCNN(cfg)
+    batch = {k: jnp.asarray(v) for k, v in pad_scene(cfg, scene).items()}
+    table = voxelize_points(cfg, batch["points"], batch["feats"],
+                            batch["points_valid"])
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(functools.partial(model.init, is_train=False))(
+        rng, table)
+
+    if args.stage == "backbone":
+        bb = SparseFPN(cfg)
+
+        @jax.jit
+        def fn(params, batch):
+            t = voxelize_points(cfg, batch["points"], batch["feats"],
+                                batch["points_valid"])
+            tb = t.with_feats(t.feats.astype(jnp.bfloat16))
+            pyr = build_pyramid(tb, cfg)
+            rpn_maps, _ = bb.apply(
+                {"params": params["params"]["backbone"]}, tb, pyr)
+            return sum(m.feats.astype(jnp.float32).sum()
+                       for m in rpn_maps)
+
+        run = lambda: float(fn(params, batch))  # noqa: E731
+    else:
+        predict = make_predict_fn(cfg, model)
+
+        def run():
+            out = predict(params, batch)
+            np.asarray(out[2])
+
+    run()  # compile
+    d = "/tmp/op_profile_trace"
+    shutil.rmtree(d, ignore_errors=True)
+    jax.profiler.start_trace(d)
+    run()
+    jax.profiler.stop_trace()
+    print(f"module device time: {tpu_device_time(d):.4f}s")
+
+    f = glob.glob(d + "/**/*.xplane.pb", recursive=True)[0]
+    ops = plane_op_times(open(f, "rb").read())
+    agg = collections.Counter()
+    cnt = collections.Counter()
+    big = []
+    for name, t in ops.items():
+        if name.startswith("jit_"):
+            continue
+        m = re.match(r"%([a-z_.-]+)", name)
+        key = m.group(1) if m else name[:24]
+        if "_windowed_conv_call" in name:
+            key = "windowed_conv(pallas)"
+        if "rotated_iou" in name:
+            key = "rotated_iou(pallas)"
+        agg[key] += t
+        cnt[key] += 1
+        if t > 0.02:
+            big.append((t, name[:150]))
+    print("\nby op kind (sums include async overlap):")
+    for k, t in agg.most_common(12):
+        print(f"  {t:8.3f}s n={cnt[k]:5d}  {k}")
+    print("\ntop individual ops:")
+    for t, n in sorted(big, reverse=True)[:args.top]:
+        print(f"  {t:8.4f}s {n}")
+
+
+if __name__ == "__main__":
+    main()
