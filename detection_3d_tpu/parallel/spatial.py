@@ -283,3 +283,95 @@ def spatial_fpn_apply(cfg: Config, mesh: Mesh, params, points, feats,
                    in_specs=(spec, spec, spec, spec),
                    out_specs=P(axis))
     return fn(params, points, feats, points_valid)
+
+
+def _gather_global_map(t: SparseTensor, own_mask, axis: str,
+                       cap_out: int) -> SparseTensor:
+    """All-gather the OWNED rows of a per-shard map into the same global
+    table on every shard (eval reassembly after the sharded trunk)."""
+    idx, ok = _compact(own_mask, t.capacity)
+    coords = jnp.where(ok[:, None], t.coords[idx], -1)
+    feats = jnp.where(ok[:, None], t.feats[idx], 0)
+    coords_all = jax.lax.all_gather(coords, axis)     # (D, cap, 4)
+    feats_all = jax.lax.all_gather(feats, axis)
+    ok_all = jax.lax.all_gather(ok, axis)
+    return build_sparse_tensor(
+        coords_all.reshape(-1, 4), feats_all.reshape(-1, t.feats.shape[-1]),
+        ok_all.reshape(-1), t.spatial_size, t.batch_size, cap_out,
+        reduce="sum")
+
+
+def spatial_predict(cfg: Config, mesh: Mesh, params, batch,
+                    shard_caps, halo_caps, axis: str = "sp"):
+    """Full spatially-sharded inference: the conv trunk runs sharded with
+    halo exchange; owned map rows are then all-gathered so the (small)
+    RPN/ROI heads run replicated — the same detections materialize on
+    every shard. Single-group configs (no separate_classes).
+
+    Returns the detections of shard 0 as (boxes, valid, scores, labels).
+    """
+    from detection_3d_tpu.models.rpn import RPN
+    from detection_3d_tpu.models.roi_head import ROIBoxHead, postprocess
+
+    assert not cfg.separate_classes, "spatial_predict: single group only"
+    n_shards = mesh.devices.size
+    n_scales = cfg.sparse3d.num_scales
+    global_caps = cfg.caps.scale_caps(n_scales)
+    fpn = SparseFPN(cfg, sp_axis=axis)
+
+    def run(params, points, feats, points_valid):
+        spyr = build_spatial_pyramid(cfg, points, feats, points_valid,
+                                     axis, n_shards, shard_caps,
+                                     halo_caps)
+        table0 = spyr["tables"][0]
+        table0 = table0.with_feats(
+            table0.feats.astype(jnp.dtype(cfg.compute_dtype)))
+        rpn_maps, roi_maps = fpn.apply(
+            {"params": params["params"]["backbone"]}, table0, spyr)
+
+        # reassemble global maps from owned rows (3d maps use the scale's
+        # own mask; bev tables are built own-only already)
+        def scale_of(i_from_top):
+            return n_scales - 1 - i_from_top
+
+        n3d = len(cfg.rpn.rpn_scales_from_top)
+        global_rpn = []
+        for slot, m in enumerate(rpn_maps):
+            sel = cfg.rpn.rpn_3d_2d_selector[slot]
+            if sel < n3d:   # 3d map
+                sc = scale_of(cfg.rpn.rpn_scales_from_top[sel])
+                own = spyr["own_valid"][sc]
+                cap = global_caps[sc]
+            else:           # bev map (own-only table)
+                own = m.row_valid
+                sc = scale_of(
+                    cfg.rpn.rpn_scales_from_top[sel - n3d])
+                cap = global_caps[sc]
+            global_rpn.append(_gather_global_map(m, own, axis, cap))
+        global_roi = []
+        for i, i_from_top in enumerate(cfg.roi.pooler_scales_from_top):
+            sc = scale_of(i_from_top)
+            global_roi.append(_gather_global_map(
+                roi_maps[i], spyr["own_valid"][sc], axis,
+                global_caps[sc]))
+
+        proposals_g, _ = RPN(cfg).apply(
+            {"params": params["params"]["rpn"]}, global_rpn, None,
+            is_train=False, rng=None)
+        proposals = proposals_g[0].clamp_size()
+        cls_logits, box_reg = ROIBoxHead(cfg).apply(
+            {"params": params["params"]["roi_head"]}, global_roi,
+            proposals)
+        det = postprocess(cfg, proposals, cls_logits, box_reg,
+                          cfg.num_classes, cfg.roi_detections_per_img)
+        out = (det.boxes, det.valid, det.fields["scores"],
+               det.fields["labels"])
+        return jax.tree.map(lambda a: a[None], out)
+
+    spec = P()
+    fn = shard_map(run, mesh=mesh,
+                   in_specs=(spec, spec, spec, spec),
+                   out_specs=P(axis))
+    boxes, valid, scores, labels = fn(
+        params, batch["points"], batch["feats"], batch["points_valid"])
+    return boxes[0], valid[0], scores[0], labels[0]

@@ -95,3 +95,40 @@ def test_spatial_fpn_parity(cfg, scene):
                     err_msg=f"roi{i}: shard {d} coords {c}")
                 total += 1
         assert total == len(key), f"roi{i}: covered {total}/{len(key)}"
+
+
+def test_spatial_predict_matches_single_device(cfg, scene):
+    """Full sharded inference (trunk sharded + heads on reassembled
+    global maps) must reproduce the single-device detections."""
+    import functools
+    from detection_3d_tpu.engine.trainer import pad_scene
+    from detection_3d_tpu.models.detector import SparseRCNN
+    from detection_3d_tpu.parallel.spatial import spatial_predict
+
+    pts, feats, valid = scene
+    model = SparseRCNN(cfg)
+    table0 = voxelize_points(cfg, pts, feats, valid)
+    params = jax.jit(functools.partial(model.init, is_train=False))(
+        jax.random.PRNGKey(0), table0)
+    det_ref = model.apply(params, table0, is_train=False)
+
+    mesh = Mesh(np.array(jax.devices()[:N_SHARDS]), ("sp",))
+    batch = {"points": pts, "feats": feats, "points_valid": valid}
+    boxes, dvalid, scores, labels = spatial_predict(
+        cfg, mesh, params, batch, SHARD_CAPS, HALO_CAPS)
+
+    rv = np.asarray(det_ref.valid)
+    rb = np.asarray(det_ref.boxes)[rv]
+    rs = np.asarray(det_ref.fields["scores"])[rv]
+    rl = np.asarray(det_ref.fields["labels"])[rv]
+    sv = np.asarray(dvalid)
+    sb = np.asarray(boxes)[sv]
+    ss = np.asarray(scores)[sv]
+    sl = np.asarray(labels)[sv]
+    assert sb.shape[0] == rb.shape[0]
+    # order by (label, score) to compare as sets
+    ro = np.lexsort((rs, rl))
+    so = np.lexsort((ss, sl))
+    np.testing.assert_array_equal(sl[so], rl[ro])
+    np.testing.assert_allclose(ss[so], rs[ro], atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(sb[so], rb[ro], atol=5e-3, rtol=1e-3)
