@@ -116,8 +116,19 @@ def build_pyramid(table0: SparseTensor, cfg: Config) -> Dict[str, Any]:
                                t, tables[-1].capacity))
         tables.append(t)
 
-    subm_idx = [fast_rb(neighbor_indices(t, offs3), t, t.capacity)
-                for t in tables]
+    from detection_3d_tpu.ops.pallas.match_kernel import (
+        neighbor_match_3x3x3, match_supported,
+    )
+
+    def subm_rulebook(t):
+        # windowed sorted-key match kernel replaces per-query binary
+        # searches on large TPU scales (the searches dominated the
+        # full-scale forward)
+        idx = (neighbor_match_3x3x3(t) if match_supported(t)
+               else neighbor_indices(t, offs3))
+        return fast_rb(idx, t, t.capacity)
+
+    subm_idx = [subm_rulebook(t) for t in tables]
 
     up_rb = []
     for k in range(n_scales - 1, 0, -1):

@@ -1,0 +1,236 @@
+"""Pallas TPU kernel: windowed sorted-key match (rulebook construction).
+
+Replaces the per-query binary searches of submanifold rulebook building
+(ops/sparse.neighbor_indices / the xy-column searches) on large scales.
+The reference builds rulebooks with CPU hash maps
+(/root/reference/SparseConvNet/sparseconvnet/SCN/Metadata/
+SubmanifoldConvolutionRules.h:26-57); our XLA path replaced them with
+vectorized searches — but at the reference-scale bench those searches
+are 27 offsets x 524k sites x ~9 probe steps of RANDOM key gathers, and
+dominate the whole pipeline (~1.5 s of a 2.1 s forward).
+
+Same structural fact as the conv kernel: table keys are sorted, and the
+query keys for a FIXED kernel offset are the site keys plus a constant
+(hi += dx, lo += dy*Z + dz) — i.e. sorted too. So all matches for a
+block of B sites live in one contiguous key window:
+
+  per (block, xy-offset group g of the 3x3x3 kernel):
+    1. one streaming DMA of the (hi, lo) key window -> VMEM;
+    2. vectorized equality sweep: (B, 128) compares per window sublane
+       row, sharing the hi-compare across the dz = -1/0/+1 triplet
+       (z-adjacent rows share the query's hi and differ by 1 in lo);
+    3. match position extracted with a masked min over lane iota
+       (pure VPU — no MXU needed).
+
+Window starts/pass counts come from a COARSE lower bound in XLA: one
+search per (offset-group, block) — nb searches instead of V (512x
+fewer) — via `match_plan`. Blocks whose key span exceeds one window run
+extra serialized passes (exact for any span, like the conv kernel).
+
+Out-of-grid wraps (x/y/z +-1 crossing a boundary alias a numerically
+equal key of a different voxel) are masked OUTSIDE the kernel from the
+site coords — the kernel reports raw key matches.
+
+Output layout is (V, 32) lanes (offset k in lane k) to keep every
+per-offset result a static lane column; callers transpose to the
+(27, V) rulebook form once in XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from detection_3d_tpu.ops.coords import lex_searchsorted
+
+BLOCK = 512
+WINDOW = 3072          # rows per pass; usable span = WINDOW - ALIGN
+_ALIGN = 1024          # start alignment: 8 sublanes x 128 lanes (int32)
+_LANES = 128
+_BIG = 2 ** 30
+
+
+def match_plan(hi, lo, d_hi, d_lo, v_in: int, block: int = BLOCK,
+               window: int = WINDOW):
+    """Window starts + pass counts for the sorted match, in XLA.
+
+    Args:
+      hi/lo: (V,) sorted table keys (V % block == 0, pad rows INVALID);
+      d_hi/d_lo: (G,) int32 per-offset-group key deltas (queries of
+        group g = site keys + (d_hi[g], d_lo[g]); the dz triplet shares
+        a group with d_lo = center, matched at lo-1/lo/lo+1);
+    Returns:
+      starts: (G, nb) int32 row starts, _ALIGN-aligned;
+      passes: (G, nb) int32 >= 1.
+    """
+    v = hi.shape[0]
+    nb = v // block
+    first_hi = hi[::block]                       # (nb,)
+    first_lo = lo[::block]
+    qhi = first_hi[None, :] + d_hi[:, None]      # (G, nb)
+    qlo = first_lo[None, :] + d_lo[:, None] - 1  # cover the dz=-1 key
+    pos, _ = lex_searchsorted(hi, lo, qhi, qlo)
+    starts = (pos & ~(_ALIGN - 1)).astype(jnp.int32)
+    ends = jnp.concatenate(
+        [pos[:, 1:], jnp.full((pos.shape[0], 1), v_in, pos.dtype)],
+        axis=1) + 2                              # +2: dz=+1 boundary rows
+    span = jnp.maximum(ends - starts, 1)
+    passes = ((span + window - 1) // window).astype(jnp.int32)
+    return starts, passes
+
+
+def _kernel(starts_ref, passes_ref, hi128, lo128, hic_ref, loc_ref,
+            out_ref, winh, winl, sems, *, n_grp, block, window, vrows,
+            d_hi, d_lo):
+    j = pl.program_id(0)
+    wg = window // _LANES
+
+    def copy(g, p, slot):
+        s = pl.multiple_of(
+            (starts_ref[g, j] + p * window) // _LANES, 8)
+        s = jnp.minimum(s, vrows - wg)
+        return (pltpu.make_async_copy(hi128.at[pl.ds(s, wg), :],
+                                      winh.at[slot], sems.at[2 * slot]),
+                pltpu.make_async_copy(lo128.at[pl.ds(s, wg), :],
+                                      winl.at[slot], sems.at[2 * slot + 1]))
+
+    for g in range(n_grp):
+        for c in copy(g, 0, g):
+            c.start()
+
+    qhi0 = hic_ref[:]                            # (block, 1)
+    qlo0 = loc_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+
+    for g in range(n_grp):
+        for c in copy(g, 0, g):
+            c.wait()
+        qhi = qhi0 + d_hi[g]
+        qlo3 = [qlo0 + d_lo[g] + (t - 1) for t in range(3)]
+        # running elementwise (block, 128) mins — the cross-lane
+        # reduction happens ONCE per group at the end (per-step lane
+        # reduces were 20x the cost of the compares)
+        best = [jnp.full((block, _LANES), _BIG, jnp.int32)
+                for _ in range(3)]
+
+        def sweep(slot, base_rows, best):
+            def srow(s, bst):
+                hrow = winh[slot, pl.ds(s, 1), :]   # (1, 128)
+                lrow = winl[slot, pl.ds(s, 1), :]
+                mh = hrow == qhi                    # (block, 128)
+                pos = lane + (base_rows + s * _LANES)
+                out = []
+                for t in range(3):                  # dz = -1, 0, +1
+                    m = mh & (lrow == qlo3[t])
+                    out.append(jnp.minimum(
+                        bst[t], jnp.where(m, pos, _BIG)))
+                return tuple(out)
+            return list(jax.lax.fori_loop(0, wg, srow, tuple(best)))
+
+        start_g = starts_ref[g, j]
+        s0 = jnp.minimum(start_g // _LANES, vrows - wg) * _LANES
+        best = sweep(g, s0, best)
+
+        def extra(p, best):
+            for c in copy(g, p, n_grp):
+                c.start()
+            for c in copy(g, p, n_grp):
+                c.wait()
+            sp = jnp.minimum((start_g + p * window) // _LANES,
+                             vrows - wg) * _LANES
+            return tuple(sweep(n_grp, sp, best))
+
+        best = list(jax.lax.fori_loop(1, passes_ref[g, j], extra,
+                                      tuple(best)))
+        for t in range(3):
+            out_ref[:, 3 * g + t:3 * g + t + 1] = jnp.min(
+                best[t], axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("d_hi", "d_lo", "block",
+                                             "window", "interpret"))
+def _match_call(hi, lo, hic, loc, starts, passes, d_hi, d_lo,
+                block: int, window: int, interpret: bool = False):
+    v = hi.shape[0]
+    n_grp = len(d_hi)
+    nb = v // block
+    hi128 = hi.reshape(v // _LANES, _LANES)
+    lo128 = lo.reshape(v // _LANES, _LANES)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),          # hi windows
+            pl.BlockSpec(memory_space=pltpu.ANY),          # lo windows
+            pl.BlockSpec((block, 1), lambda j, s, p: (j, 0),
+                         memory_space=pltpu.VMEM),          # hi column
+            pl.BlockSpec((block, 1), lambda j, s, p: (j, 0),
+                         memory_space=pltpu.VMEM),          # lo column
+        ],
+        out_specs=pl.BlockSpec((block, 32), lambda j, s, p: (j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_grp + 1, window // _LANES, _LANES), jnp.int32),
+            pltpu.VMEM((n_grp + 1, window // _LANES, _LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2 * (n_grp + 1),)),
+        ],
+    )
+    kern = functools.partial(_kernel, n_grp=n_grp, block=block,
+                             window=window, vrows=v // _LANES,
+                             d_hi=d_hi, d_lo=d_lo)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((v, 32), jnp.int32),
+    )(starts, passes, hi128, lo128, hic, loc)
+
+
+def neighbor_match_3x3x3(table, interpret: bool = False):
+    """(27, V) submanifold rulebook via the windowed match kernel.
+
+    Drop-in producer for ops/sparse.neighbor_indices(table, 3x3x3
+    offsets): idx[k, i] = row of the neighbor of site i at offset k, or
+    V when absent/out-of-grid. Caller gates on backend/size.
+    """
+    X, Y, Z = table.spatial_size
+    v = table.capacity
+    hi, lo = table.hi, table.lo
+    # xy offset groups g = (dx+1)*3 + (dy+1); k = g*3 + (dz+1)
+    d_hi = tuple(dx for dx in (-1, 0, 1) for _ in (0, 1, 2))
+    d_lo = tuple(dy * Z for _ in (0, 1, 2) for dy in (-1, 0, 1))
+    starts, passes = match_plan(
+        hi, lo, jnp.array(d_hi, jnp.int32), jnp.array(d_lo, jnp.int32), v)
+    hic = hi.reshape(v, 1)
+    loc = lo.reshape(v, 1)
+    pos32 = _match_call(hi, lo, hic, loc, starts, passes, d_hi, d_lo,
+                        BLOCK, WINDOW, interpret)
+    pos = pos32[:, :27].T                          # (27, V)
+
+    # mask wraps + missing + invalid rows in XLA from the coords
+    x = table.coords[:, 0]
+    y = table.coords[:, 1]
+    z = table.coords[:, 2]
+    rv = table.row_valid
+    ks = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+          for dz in (-1, 0, 1)]
+    dxs = jnp.array([k[0] for k in ks], jnp.int32)[:, None]
+    dys = jnp.array([k[1] for k in ks], jnp.int32)[:, None]
+    dzs = jnp.array([k[2] for k in ks], jnp.int32)[:, None]
+    inb = ((x[None, :] + dxs >= 0) & (x[None, :] + dxs < X)
+           & (y[None, :] + dys >= 0) & (y[None, :] + dys < Y)
+           & (z[None, :] + dzs >= 0) & (z[None, :] + dzs < Z)
+           & rv[None, :])
+    found = inb & (pos < v)
+    return jnp.where(found, jnp.minimum(pos, v - 1), v).astype(jnp.int32)
+
+
+def match_supported(table) -> bool:
+    v = table.capacity
+    return (jax.default_backend() == "tpu" and v >= 2 * WINDOW
+            and v % _ALIGN == 0)

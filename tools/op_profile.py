@@ -90,10 +90,14 @@ def main():
     run()  # compile
     d = "/tmp/op_profile_trace"
     shutil.rmtree(d, ignore_errors=True)
+    iters = int(os.environ.get("OP_PROFILE_ITERS", "1"))
     jax.profiler.start_trace(d)
-    run()
+    for _ in range(iters):
+        run()
     jax.profiler.stop_trace()
-    print(f"module device time: {tpu_device_time(d):.4f}s")
+    print(f"module device time over {iters} iters: "
+          f"{tpu_device_time(d):.4f}s "
+          f"({tpu_device_time(d)/iters:.4f}s/iter)")
 
     f = glob.glob(d + "/**/*.xplane.pb", recursive=True)[0]
     ops = plane_op_times(open(f, "rb").read())
