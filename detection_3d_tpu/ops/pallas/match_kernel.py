@@ -83,7 +83,7 @@ def match_plan(hi, lo, d_hi, d_lo, v_in: int, block: int = BLOCK,
     return starts, passes
 
 
-def _kernel(starts_ref, passes_ref, hi128, lo128, hic_ref, loc_ref,
+def _kernel(starts_ref, passes_ref, hi128, lo128, hir_ref, lor_ref,
             out_ref, winh, winl, sems, *, n_grp, block, window, vrows,
             d_hi, d_lo):
     j = pl.program_id(0)
@@ -102,8 +102,11 @@ def _kernel(starts_ref, passes_ref, hi128, lo128, hic_ref, loc_ref,
         for c in copy(g, 0, g):
             c.start()
 
-    qhi0 = hic_ref[:]                            # (block, 1)
-    qlo0 = loc_ref[:]
+    # (1, block) row -> (block, 1) column: one in-kernel relayout per
+    # block (a (V, 1) column INPUT would force a T(1,128) layout whose
+    # per-block prologue slices cost more than the whole kernel)
+    qhi0 = hir_ref[0, 0, :].reshape(block, 1)
+    qlo0 = lor_ref[0, 0, :].reshape(block, 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
 
     for g in range(n_grp):
@@ -153,13 +156,15 @@ def _kernel(starts_ref, passes_ref, hi128, lo128, hic_ref, loc_ref,
 
 @functools.partial(jax.jit, static_argnames=("d_hi", "d_lo", "block",
                                              "window", "interpret"))
-def _match_call(hi, lo, hic, loc, starts, passes, d_hi, d_lo,
+def _match_call(hi, lo, starts, passes, d_hi, d_lo,
                 block: int, window: int, interpret: bool = False):
     v = hi.shape[0]
     n_grp = len(d_hi)
     nb = v // block
     hi128 = hi.reshape(v // _LANES, _LANES)
     lo128 = lo.reshape(v // _LANES, _LANES)
+    hi3d = hi.reshape(nb, 1, block)
+    lo3d = lo.reshape(nb, 1, block)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -167,10 +172,10 @@ def _match_call(hi, lo, hic, loc, starts, passes, d_hi, d_lo,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),          # hi windows
             pl.BlockSpec(memory_space=pltpu.ANY),          # lo windows
-            pl.BlockSpec((block, 1), lambda j, s, p: (j, 0),
-                         memory_space=pltpu.VMEM),          # hi column
-            pl.BlockSpec((block, 1), lambda j, s, p: (j, 0),
-                         memory_space=pltpu.VMEM),          # lo column
+            pl.BlockSpec((1, 1, block), lambda j, s, p: (j, 0, 0),
+                         memory_space=pltpu.VMEM),          # query hi row
+            pl.BlockSpec((1, 1, block), lambda j, s, p: (j, 0, 0),
+                         memory_space=pltpu.VMEM),          # query lo row
         ],
         out_specs=pl.BlockSpec((block, 32), lambda j, s, p: (j, 0),
                                memory_space=pltpu.VMEM),
@@ -188,7 +193,7 @@ def _match_call(hi, lo, hic, loc, starts, passes, d_hi, d_lo,
         grid_spec=grid_spec,
         interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((v, 32), jnp.int32),
-    )(starts, passes, hi128, lo128, hic, loc)
+    )(starts, passes, hi128, lo128, hi3d, lo3d)
 
 
 def neighbor_match_3x3x3(table, interpret: bool = False):
@@ -206,9 +211,7 @@ def neighbor_match_3x3x3(table, interpret: bool = False):
     d_lo = tuple(dy * Z for _ in (0, 1, 2) for dy in (-1, 0, 1))
     starts, passes = match_plan(
         hi, lo, jnp.array(d_hi, jnp.int32), jnp.array(d_lo, jnp.int32), v)
-    hic = hi.reshape(v, 1)
-    loc = lo.reshape(v, 1)
-    pos32 = _match_call(hi, lo, hic, loc, starts, passes, d_hi, d_lo,
+    pos32 = _match_call(hi, lo, starts, passes, d_hi, d_lo,
                         BLOCK, WINDOW, interpret)
     pos = pos32[:, :27].T                          # (27, V)
 
