@@ -112,12 +112,15 @@ def build_pyramid(table0: SparseTensor, cfg: Config) -> Dict[str, Any]:
         kernel, stride = s3d.kernels[k - 1], s3d.strides[k - 1]
         t = downsample_table(tables[-1], kernel, stride, caps[k])
         t = accel(t)
-        down_rb.append(fast_rb(conv_rulebook(t, tables[-1], kernel, stride),
-                               t, tables[-1].capacity))
+        crb = (conv_rulebook_match(t, tables[-1], kernel, stride)
+               if match_supported(tables[-1])
+               else conv_rulebook(t, tables[-1], kernel, stride))
+        down_rb.append(fast_rb(crb, t, tables[-1].capacity))
         tables.append(t)
 
     from detection_3d_tpu.ops.pallas.match_kernel import (
-        neighbor_match_3x3x3, match_supported,
+        neighbor_match_3x3x3, conv_rulebook_match, deconv_rulebook_match,
+        match_supported,
     )
 
     def subm_rulebook(t):
@@ -133,9 +136,12 @@ def build_pyramid(table0: SparseTensor, cfg: Config) -> Dict[str, Any]:
     up_rb = []
     for k in range(n_scales - 1, 0, -1):
         kernel, stride = s3d.kernels[k - 1], s3d.strides[k - 1]
-        up_rb.append(fast_rb(
-            deconv_rulebook(tables[k - 1], tables[k], kernel, stride),
-            tables[k - 1], tables[k].capacity))
+        drb = (deconv_rulebook_match(tables[k - 1], tables[k], kernel,
+                                     stride)
+               if match_supported(tables[k])
+               else deconv_rulebook(tables[k - 1], tables[k], kernel,
+                                    stride))
+        up_rb.append(fast_rb(drb, tables[k - 1], tables[k].capacity))
 
     bev = {}
     for slot, i_from_top in enumerate(cfg.rpn.rpn_scales_from_top):

@@ -45,7 +45,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from detection_3d_tpu.ops.coords import lex_searchsorted
+from detection_3d_tpu.ops.coords import INVALID, lex_searchsorted, pack_key
 
 BLOCK = 512
 WINDOW = 3072          # rows per pass; usable span = WINDOW - ALIGN
@@ -209,10 +209,12 @@ def neighbor_match_3x3x3(table, interpret: bool = False):
     # xy offset groups g = (dx+1)*3 + (dy+1); k = g*3 + (dz+1)
     d_hi = tuple(dx for dx in (-1, 0, 1) for _ in (0, 1, 2))
     d_lo = tuple(dy * Z for _ in (0, 1, 2) for dy in (-1, 0, 1))
+    window = min(WINDOW, v)
     starts, passes = match_plan(
-        hi, lo, jnp.array(d_hi, jnp.int32), jnp.array(d_lo, jnp.int32), v)
+        hi, lo, jnp.array(d_hi, jnp.int32), jnp.array(d_lo, jnp.int32), v,
+        window=window)
     pos32 = _match_call(hi, lo, starts, passes, d_hi, d_lo,
-                        BLOCK, WINDOW, interpret)
+                        BLOCK, window, interpret)
     pos = pos32[:, :27].T                          # (27, V)
 
     # mask wraps + missing + invalid rows in XLA from the coords
@@ -235,5 +237,193 @@ def neighbor_match_3x3x3(table, interpret: bool = False):
 
 def match_supported(table) -> bool:
     v = table.capacity
-    return (jax.default_backend() == "tpu" and v >= 2 * WINDOW
+    return (jax.default_backend() == "tpu" and v >= _ALIGN
             and v % _ALIGN == 0)
+
+
+# ---------------------------------------------------------------------------
+# Generic K-offset variant: explicit (sorted-per-offset) query keys —
+# serves strided-conv and deconv rulebooks (queries live on a DIFFERENT
+# grid than the searched table, so they can't be derived by a constant
+# key shift like the submanifold case).
+# ---------------------------------------------------------------------------
+
+
+def multi_match_plan(qhi, qlo, qvalid, hi, lo, block: int = BLOCK,
+                     window: int = WINDOW):
+    """Starts/passes from per-block first/last VALID queries.
+
+    Queries within a block are sorted (ascending per offset), so the
+    block's key range is [first valid, last valid] — invalid rows
+    (out-of-grid / inexact strides) carry INVALID keys and must not
+    widen the window.
+    """
+    g, v = qhi.shape
+    nb = v // block
+    qv = qvalid.reshape(g, nb, block)
+    fi = jnp.argmax(qv, axis=2).astype(jnp.int32)
+    li = (block - 1 - jnp.argmax(qv[:, :, ::-1], axis=2)).astype(jnp.int32)
+
+    def take(a, i):
+        return jnp.take_along_axis(a.reshape(g, nb, block), i[..., None],
+                                   axis=2)[..., 0]
+
+    pos_lo, _ = lex_searchsorted(hi, lo, take(qhi, fi), take(qlo, fi))
+    pos_hi, _ = lex_searchsorted(hi, lo, take(qhi, li), take(qlo, li))
+    starts = (pos_lo & ~(_ALIGN - 1)).astype(jnp.int32)
+    any_v = qv.any(axis=2)
+    span = jnp.where(any_v, pos_hi + 1 - starts, 1)
+    passes = jnp.maximum((span + window - 1) // window, 1).astype(jnp.int32)
+    return starts, passes
+
+
+def _kernel_multi(starts_ref, passes_ref, hi128, lo128, q_ref,
+                  out_ref, winh, winl, sems, *, n_grp, block, window,
+                  vrows):
+    j = pl.program_id(0)
+    wg = window // _LANES
+
+    def copy(g, p, slot):
+        s = pl.multiple_of(
+            (starts_ref[g, j] + p * window) // _LANES, 8)
+        s = jnp.minimum(s, vrows - wg)
+        return (pltpu.make_async_copy(hi128.at[pl.ds(s, wg), :],
+                                      winh.at[slot], sems.at[2 * slot]),
+                pltpu.make_async_copy(lo128.at[pl.ds(s, wg), :],
+                                      winl.at[slot], sems.at[2 * slot + 1]))
+
+    for g in range(n_grp):
+        for c in copy(g, 0, g):
+            c.start()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+
+    for g in range(n_grp):
+        for c in copy(g, 0, g):
+            c.wait()
+        qhi = q_ref[0, 2 * g, :].reshape(block, 1)
+        qlo = q_ref[0, 2 * g + 1, :].reshape(block, 1)
+        best = jnp.full((block, _LANES), _BIG, jnp.int32)
+
+        def sweep(slot, base_rows, best):
+            def srow(s, bst):
+                hrow = winh[slot, pl.ds(s, 1), :]
+                lrow = winl[slot, pl.ds(s, 1), :]
+                m = (hrow == qhi) & (lrow == qlo)
+                pos = lane + (base_rows + s * _LANES)
+                return jnp.minimum(bst, jnp.where(m, pos, _BIG))
+            return jax.lax.fori_loop(0, wg, srow, best)
+
+        start_g = starts_ref[g, j]
+        s0 = jnp.minimum(start_g // _LANES, vrows - wg) * _LANES
+        best = sweep(g, s0, best)
+
+        def extra(p, best):
+            for c in copy(g, p, n_grp):
+                c.start()
+            for c in copy(g, p, n_grp):
+                c.wait()
+            sp = jnp.minimum((start_g + p * window) // _LANES,
+                             vrows - wg) * _LANES
+            return sweep(n_grp, sp, best)
+
+        best = jax.lax.fori_loop(1, passes_ref[g, j], extra, best)
+        out_ref[:, g:g + 1] = jnp.min(best, axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "window",
+                                             "interpret"))
+def _multi_match_call(hi, lo, q_packed, starts, passes,
+                      block: int, window: int, interpret: bool = False):
+    """q_packed: (nb, 2*G, block) int32 — interleaved (qhi, qlo) rows."""
+    v = hi.shape[0]
+    nb, twog, _ = q_packed.shape
+    n_grp = twog // 2
+    hi128 = hi.reshape(v // _LANES, _LANES)
+    lo128 = lo.reshape(v // _LANES, _LANES)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, twog, block), lambda j, s, p: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, 32), lambda j, s, p: (j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_grp + 1, window // _LANES, _LANES), jnp.int32),
+            pltpu.VMEM((n_grp + 1, window // _LANES, _LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2 * (n_grp + 1),)),
+        ],
+    )
+    kern = functools.partial(_kernel_multi, n_grp=n_grp, block=block,
+                             window=window, vrows=v // _LANES)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((nb * block, 32), jnp.int32),
+    )(starts, passes, hi128, lo128, q_packed)
+
+
+def sorted_multi_match(qhi, qlo, qvalid, table, interpret: bool = False):
+    """(G, V_q) query keys (sorted per row where valid) -> (G, V_q)
+    positions in the table; >= table.capacity where no match. Callers
+    mask validity/collisions themselves (they know the query grids)."""
+    g, vq = qhi.shape
+    v = table.capacity
+    pad = (-vq) % BLOCK
+    inval = jnp.int32(-0x7FFFFFFF)
+    qhi_p = jnp.pad(jnp.where(qvalid, qhi, inval), ((0, 0), (0, pad)),
+                    constant_values=inval)
+    qlo_p = jnp.pad(jnp.where(qvalid, qlo, inval), ((0, 0), (0, pad)),
+                    constant_values=inval)
+    qv_p = jnp.pad(qvalid, ((0, 0), (0, pad)))
+    window = min(WINDOW, v)        # small tables: one whole-table window
+    starts, passes = multi_match_plan(qhi_p, qlo_p, qv_p, table.hi,
+                                      table.lo, BLOCK, window)
+    nb = qhi_p.shape[1] // BLOCK
+    q = jnp.stack([qhi_p.reshape(g, nb, BLOCK),
+                   qlo_p.reshape(g, nb, BLOCK)], axis=1)   # (g, 2, nb, B)
+    q_packed = q.transpose(2, 0, 1, 3).reshape(nb, 2 * g, BLOCK)
+    pos32 = _multi_match_call(table.hi, table.lo, q_packed, starts,
+                              passes, BLOCK, window, interpret)
+    pos = pos32[:, :g].T[:, :vq]
+    return jnp.where(qvalid & (pos < v), pos, v).astype(jnp.int32)
+
+
+def conv_rulebook_match(out_table, in_table, kernel, stride,
+                        interpret: bool = False):
+    """Strided-conv rulebook via the sorted-match kernel (parity with
+    ops/sparse.conv_rulebook, same (K, V_out) contract)."""
+    st = jnp.array([stride[0], stride[1], stride[2], 1], jnp.int32)
+    base = out_table.coords * st
+    rv = out_table.row_valid
+    deltas = jnp.array(
+        [[kx, ky, kz, 0] for kx in range(kernel[0])
+         for ky in range(kernel[1]) for kz in range(kernel[2])], jnp.int32)
+    q = base[None, :, :] + deltas[:, None, :]
+    qhi, qlo = pack_key(q, in_table.spatial_size, valid=rv[None, :])
+    return sorted_multi_match(qhi, qlo, qhi != INVALID, in_table,
+                              interpret)
+
+
+def deconv_rulebook_match(fine_table, coarse_table, kernel, stride,
+                          interpret: bool = False):
+    """Deconv rulebook via the sorted-match kernel (parity with
+    ops/sparse_conv.deconv_rulebook)."""
+    st = jnp.array([stride[0], stride[1], stride[2], 1], jnp.int32)
+    fx = fine_table.coords
+    deltas = jnp.array(
+        [[kx, ky, kz, 0] for kx in range(kernel[0])
+         for ky in range(kernel[1]) for kz in range(kernel[2])], jnp.int32)
+    num = fx[None, :, :] - deltas[:, None, :]
+    o = num // st
+    exact = jnp.all(o * st == num, axis=-1)
+    qhi, qlo = pack_key(o, coarse_table.spatial_size,
+                        valid=fine_table.row_valid[None, :] & exact)
+    return sorted_multi_match(qhi, qlo, qhi != INVALID, coarse_table,
+                              interpret)

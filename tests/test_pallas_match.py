@@ -42,3 +42,30 @@ def test_match_kernel_partial_table():
     want = np.asarray(neighbor_indices(t, submanifold_offsets((3, 3, 3))))
     got = np.asarray(neighbor_match_3x3x3(t, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_conv_rulebook_match_parity():
+    from detection_3d_tpu.ops.sparse import downsample_table, conv_rulebook
+    from detection_3d_tpu.ops.pallas.match_kernel import (
+        conv_rulebook_match,
+    )
+    t = _table(2500, 4096, (64, 48, 32), seed=7)
+    out = downsample_table(t, (2, 2, 2), (2, 2, 2), 2048)
+    want = np.asarray(conv_rulebook(out, t, (2, 2, 2), (2, 2, 2)))
+    got = np.asarray(conv_rulebook_match(out, t, (2, 2, 2), (2, 2, 2),
+                                         interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_deconv_rulebook_match_parity():
+    from detection_3d_tpu.ops.sparse import downsample_table
+    from detection_3d_tpu.ops.sparse_conv import deconv_rulebook
+    from detection_3d_tpu.ops.pallas.match_kernel import (
+        deconv_rulebook_match,
+    )
+    t = _table(2500, 4096, (64, 48, 32), seed=8)
+    coarse = downsample_table(t, (2, 2, 2), (2, 2, 2), 2048)
+    want = np.asarray(deconv_rulebook(t, coarse, (2, 2, 2), (2, 2, 2)))
+    got = np.asarray(deconv_rulebook_match(t, coarse, (2, 2, 2),
+                                           (2, 2, 2), interpret=True))
+    np.testing.assert_array_equal(got, want)
