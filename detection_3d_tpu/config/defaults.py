@@ -279,6 +279,11 @@ class Config:
                 "uses batch statistics in train AND eval (the reference "
                 "runs all real configs with False — "
                 "batchNormalization.py:51-56). Set it to False.")
+        # rpn_only's train aux output is the proposal list, not scored
+        # detections — the eval-in-train accumulator would crash on it.
+        assert not (self.rpn_only and self.eval_in_train), (
+            "rpn_only and eval_in_train are mutually exclusive: the "
+            "rpn-only train path has no ROI detections to evaluate")
         return self
 
     def anchor_strides(self):

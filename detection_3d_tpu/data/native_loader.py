@@ -39,43 +39,49 @@ def _build_library() -> Optional[ctypes.CDLL]:
         out = os.path.join(os.path.dirname(src), "build")
         os.makedirs(out, exist_ok=True)
         so = os.path.join(out, "libsceneloader.so")
-        if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
-            try:
+        try:
+            if (not os.path.exists(so)
+                    or os.path.getmtime(so) < os.path.getmtime(src)):
                 subprocess.run(
                     ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
                      "-pthread", src, "-o", so],
                     check=True, capture_output=True, timeout=120)
-            except (OSError, subprocess.SubprocessError):
-                _BUILD_FAILED = True
-                return None
-        lib = ctypes.CDLL(so)
-        lib.sl_open.restype = ctypes.c_void_p
-        lib.sl_open.argtypes = [ctypes.POINTER(ctypes.c_char_p),
-                                ctypes.c_int, ctypes.c_int, ctypes.c_int]
-        lib.sl_set_order.argtypes = [ctypes.c_void_p,
-                                     ctypes.POINTER(ctypes.c_int),
-                                     ctypes.c_int]
-        lib.sl_next.restype = ctypes.c_void_p
-        lib.sl_next.argtypes = [ctypes.c_void_p]
-        lib.sl_scene_ok.argtypes = [ctypes.c_void_p]
-        lib.sl_scene_error.restype = ctypes.c_char_p
-        lib.sl_scene_error.argtypes = [ctypes.c_void_p]
-        lib.sl_scene_n_arrays.argtypes = [ctypes.c_void_p]
-        lib.sl_scene_name.restype = ctypes.c_char_p
-        lib.sl_scene_name.argtypes = [ctypes.c_void_p, ctypes.c_int]
-        lib.sl_scene_dtype.argtypes = [ctypes.c_void_p, ctypes.c_int]
-        lib.sl_scene_ndim.argtypes = [ctypes.c_void_p, ctypes.c_int]
-        lib.sl_scene_dims.restype = ctypes.POINTER(ctypes.c_uint64)
-        lib.sl_scene_dims.argtypes = [ctypes.c_void_p, ctypes.c_int]
-        lib.sl_scene_data.restype = ctypes.c_void_p
-        lib.sl_scene_data.argtypes = [ctypes.c_void_p, ctypes.c_int]
-        lib.sl_scene_byte_len.restype = ctypes.c_uint64
-        lib.sl_scene_byte_len.argtypes = [ctypes.c_void_p, ctypes.c_int]
-        lib.sl_release.argtypes = [ctypes.c_void_p]
-        lib.sl_close.argtypes = [ctypes.c_void_p]
+            lib = ctypes.CDLL(so)
+            _configure_symbols(lib)
+        except (OSError, subprocess.SubprocessError, AttributeError):
+            # stale/incompatible binary, missing symbol, or no compiler:
+            # fall back to the pure-python reader rather than propagating
+            _BUILD_FAILED = True
+            return None
         _LIB = lib
         return lib
+
+
+def _configure_symbols(lib: ctypes.CDLL) -> None:
+    lib.sl_open.restype = ctypes.c_void_p
+    lib.sl_open.argtypes = [ctypes.POINTER(ctypes.c_char_p),
+                            ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.sl_set_order.argtypes = [ctypes.c_void_p,
+                                 ctypes.POINTER(ctypes.c_int),
+                                 ctypes.c_int]
+    lib.sl_next.restype = ctypes.c_void_p
+    lib.sl_next.argtypes = [ctypes.c_void_p]
+    lib.sl_scene_ok.argtypes = [ctypes.c_void_p]
+    lib.sl_scene_error.restype = ctypes.c_char_p
+    lib.sl_scene_error.argtypes = [ctypes.c_void_p]
+    lib.sl_scene_n_arrays.argtypes = [ctypes.c_void_p]
+    lib.sl_scene_name.restype = ctypes.c_char_p
+    lib.sl_scene_name.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.sl_scene_dtype.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.sl_scene_ndim.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.sl_scene_dims.restype = ctypes.POINTER(ctypes.c_uint64)
+    lib.sl_scene_dims.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.sl_scene_data.restype = ctypes.c_void_p
+    lib.sl_scene_data.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.sl_scene_byte_len.restype = ctypes.c_uint64
+    lib.sl_scene_byte_len.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.sl_release.argtypes = [ctypes.c_void_p]
+    lib.sl_close.argtypes = [ctypes.c_void_p]
 
 
 def native_available() -> bool:

@@ -14,6 +14,7 @@ function; data feeding converts host scenes to padded device arrays.
 from __future__ import annotations
 
 import functools
+import logging
 import time
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, Iterable, Optional
@@ -31,6 +32,8 @@ from detection_3d_tpu.models.structures import Boxes3D
 from detection_3d_tpu.utils.checkpoint import Checkpointer
 from detection_3d_tpu.utils.metric_logger import MetricLogger
 
+_LOG = logging.getLogger(__name__)
+
 
 class TrainState(struct.PyTreeNode):
     params: Any
@@ -39,11 +42,23 @@ class TrainState(struct.PyTreeNode):
 
 
 def pad_scene(cfg: Config, scene: Dict) -> Dict[str, np.ndarray]:
-    """Host-side: pad a scene dict to the static capacities."""
+    """Host-side: pad a scene dict to the static capacities.
+
+    Warns when the scene exceeds a capacity and is truncated — the
+    reference tolerates dropped points only via an explicit flag
+    (suncg_dataset.py:18,160-168 ENABLE_POINTS_MISSED); silent loss of
+    input is never acceptable.
+    """
     n = cfg.caps.max_points
     pts = np.zeros((n, 3), np.float32)
     fts = np.zeros((n, cfg.in_channels), np.float32)
     m = min(scene["points"].shape[0], n)
+    if scene["points"].shape[0] > n:
+        _LOG.warning(
+            "pad_scene: %d points exceed caps.max_points=%d — dropping "
+            "%.1f%% of the input (raise caps.max_points)",
+            scene["points"].shape[0], n,
+            100.0 * (1 - n / scene["points"].shape[0]))
     pts[:m] = scene["points"][:m]
     fts[:m] = scene["feats"][:m, :cfg.in_channels]
     pvalid = np.arange(n) < m
@@ -56,6 +71,11 @@ def pad_scene(cfg: Config, scene: Dict) -> Dict[str, np.ndarray]:
     gtb[:mg] = scene["gt_boxes"][:mg]
     gtl[:mg] = scene["gt_labels"][:mg]
     gvalid = np.arange(g) < mg
+    if scene["gt_boxes"].shape[0] > g:
+        _LOG.warning(
+            "pad_scene: %d gt boxes exceed caps.max_gt=%d — dropping %d "
+            "targets (raise caps.max_gt)",
+            scene["gt_boxes"].shape[0], g, scene["gt_boxes"].shape[0] - g)
     return {"points": pts, "feats": fts, "points_valid": pvalid,
             "gt_boxes": gtb, "gt_labels": gtl, "gt_valid": gvalid}
 
@@ -271,9 +291,11 @@ class Trainer:
         bsz = 1
         if self.mesh is not None:
             dp = int(np.prod(self.mesh.devices.shape))
+            # round up to a multiple of dp, matching tools/train_net.py's
+            # iters_per_epoch computation (a valid ims_per_batch=6 on 4
+            # devices must not crash)
             bsz = max(cfg.solver.ims_per_batch, dp)
-            assert bsz % dp == 0, (
-                f"ims_per_batch {bsz} not divisible by dp size {dp}")
+            bsz += (-bsz) % dp
         ckpt_period = checkpoint_period_epochs or \
             cfg.solver.checkpoint_period_epochs
         rng = jax.random.PRNGKey(seed + 123)

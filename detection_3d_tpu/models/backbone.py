@@ -99,6 +99,10 @@ def build_pyramid(table0: SparseTensor, cfg: Config) -> Dict[str, Any]:
     from detection_3d_tpu.ops.pallas.gather_conv_kernel import (
         windowed_rulebook,
     )
+    from detection_3d_tpu.ops.pallas.match_kernel import (
+        neighbor_match_3x3x3, conv_rulebook_match, deconv_rulebook_match,
+        match_supported,
+    )
     use_fast = _jax.default_backend() == "tpu"
 
     def fast_rb(idx, dest_table, v_in):
@@ -117,11 +121,6 @@ def build_pyramid(table0: SparseTensor, cfg: Config) -> Dict[str, Any]:
                else conv_rulebook(t, tables[-1], kernel, stride))
         down_rb.append(fast_rb(crb, t, tables[-1].capacity))
         tables.append(t)
-
-    from detection_3d_tpu.ops.pallas.match_kernel import (
-        neighbor_match_3x3x3, conv_rulebook_match, deconv_rulebook_match,
-        match_supported,
-    )
 
     def subm_rulebook(t):
         # windowed sorted-key match kernel replaces per-query binary

@@ -38,6 +38,7 @@ single-device run on a CPU mesh.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Any, Dict, List
 
 import jax
@@ -55,6 +56,20 @@ from detection_3d_tpu.ops.sparse import (
     neighbor_indices, downsample_table, conv_rulebook,
 )
 from detection_3d_tpu.ops.sparse_conv import deconv_rulebook
+
+_LOG = logging.getLogger(__name__)
+
+
+def _warn_halo_overflow(ovf, where: str):
+    """Surface an undersized-halo-cap overflow (silently corrupted
+    boundary convolutions otherwise)."""
+    if bool(np.any(np.asarray(ovf))):
+        _LOG.warning(
+            "%s: halo column exceeded halo_caps on at least one shard — "
+            "boundary rows were DROPPED and slab-edge convolutions are "
+            "wrong; raise halo_caps", where)
+        return True
+    return False
 
 
 def _compact(mask, cap: int):
@@ -272,7 +287,8 @@ def spatial_fpn_apply(cfg: Config, mesh: Mesh, params, points, feats,
                                     axis, n_shards, shard_caps, halo_caps)
         table0 = pyr["tables"][0]
         rpn_maps, roi_maps = fpn.apply(params, table0, pyr)
-        return rpn_maps, roi_maps, pyr["own_valid"]
+        return (rpn_maps, roi_maps, pyr["own_valid"],
+                pyr["halo_overflow"])
 
     def run_stacked(params, points, feats, points_valid):
         out = run(params, points, feats, points_valid)
@@ -282,7 +298,10 @@ def spatial_fpn_apply(cfg: Config, mesh: Mesh, params, points, feats,
     fn = shard_map(run_stacked, mesh=mesh,
                    in_specs=(spec, spec, spec, spec),
                    out_specs=P(axis))
-    return fn(params, points, feats, points_valid)
+    rpn_maps, roi_maps, own_valid, ovf = fn(params, points, feats,
+                                            points_valid)
+    _warn_halo_overflow(ovf, "spatial_fpn_apply")
+    return rpn_maps, roi_maps, own_valid
 
 
 def _gather_global_map(t: SparseTensor, own_mask, axis: str,
@@ -365,13 +384,14 @@ def spatial_predict(cfg: Config, mesh: Mesh, params, batch,
         det = postprocess(cfg, proposals, cls_logits, box_reg,
                           cfg.num_classes, cfg.roi_detections_per_img)
         out = (det.boxes, det.valid, det.fields["scores"],
-               det.fields["labels"])
-        return jax.tree.map(lambda a: a[None], out)
+               det.fields["labels"], spyr["halo_overflow"])
+        return jax.tree.map(lambda a: jnp.asarray(a)[None], out)
 
     spec = P()
     fn = shard_map(run, mesh=mesh,
                    in_specs=(spec, spec, spec, spec),
                    out_specs=P(axis))
-    boxes, valid, scores, labels = fn(
+    boxes, valid, scores, labels, ovf = fn(
         params, batch["points"], batch["feats"], batch["points_valid"])
+    _warn_halo_overflow(ovf, "spatial_predict")
     return boxes[0], valid[0], scores[0], labels[0]

@@ -116,3 +116,24 @@ def test_trainer_dp_end_to_end(tmp_path):
         lambda a, b: float(jnp.abs(a - b).max()), p0, state.params)
     assert max(jax.tree_util.tree_leaves(delta)) > 0
     assert (tmp_path / "model_final.msgpack").exists()
+
+
+def test_pad_scene_truncation_warns(caplog):
+    """Silent input loss is not acceptable: exceeding max_points or
+    max_gt must log a warning (VERDICT r2 weak-6)."""
+    import logging
+
+    cfg = Config(caps=CapacityConfig(max_points=16, max_gt=2))
+    scene = {
+        "points": np.zeros((40, 3), np.float32),
+        "feats": np.zeros((40, cfg.in_channels), np.float32),
+        "gt_boxes": np.zeros((5, 7), np.float32),
+        "gt_labels": np.zeros((5,), np.int32),
+    }
+    with caplog.at_level(logging.WARNING,
+                         logger="detection_3d_tpu.engine.trainer"):
+        out = pad_scene(cfg, scene)
+    msgs = [r.message for r in caplog.records]
+    assert any("max_points" in m for m in msgs)
+    assert any("max_gt" in m for m in msgs)
+    assert out["points"].shape[0] == 16 and out["gt_boxes"].shape[0] == 2
