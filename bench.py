@@ -105,13 +105,12 @@ def parity():
     from detection_3d_tpu.engine.trainer import pad_scene
     from detection_3d_tpu.models.detector import voxelize_points
     from detection_3d_tpu.ops.sparse import (
-        conv_rulebook, downsample_table, neighbor_indices,
-        submanifold_offsets,
+        conv_rulebook, downsample_table, downsample_with_rulebooks,
+        neighbor_indices, submanifold_offsets,
     )
     from detection_3d_tpu.ops.sparse_conv import deconv_rulebook, gather_conv
     from detection_3d_tpu.ops.pallas.match_kernel import (
-        conv_rulebook_match, deconv_rulebook_match, match_supported,
-        neighbor_match_3x3x3,
+        match_supported, neighbor_match_3x3x3,
     )
     from detection_3d_tpu.ops.pallas.gather_conv_kernel import (
         supported as gc_supported, windowed_gather_conv, windowed_rulebook,
@@ -162,22 +161,25 @@ def parity():
                       f"{'OK' if ok else 'MISMATCH'} max_err={err:.2e}")
                 if not ok:
                     failures.append(f"windowed_conv_s{s}")
+        # the forward's actual strided rulebooks are the SCATTER-derived
+        # ones (ops/sparse.downsample_with_rulebooks); assert on-device
+        # equality with the searched reference builders
         nxt = downsample_table(t, kernel, stride, caps[s + 1])
-        if match_supported(t):
-            want = np.asarray(conv_rulebook(nxt, t, kernel, stride))
-            got = np.asarray(conv_rulebook_match(nxt, t, kernel, stride))
-            ok = bool((want == got).all())
-            print(f"parity scale {s}->{s+1} conv rulebook: "
-                  f"{'OK' if ok else 'MISMATCH'}")
-            if not ok:
-                failures.append(f"conv_rb_s{s}")
-            want = np.asarray(deconv_rulebook(t, nxt, kernel, stride))
-            got = np.asarray(deconv_rulebook_match(t, nxt, kernel, stride))
-            ok = bool((want == got).all())
-            print(f"parity scale {s+1}->{s} deconv rulebook: "
-                  f"{'OK' if ok else 'MISMATCH'}")
-            if not ok:
-                failures.append(f"deconv_rb_s{s}")
+        nxt2, crb, drb = downsample_with_rulebooks(t, kernel, stride,
+                                                   caps[s + 1])
+        want = np.asarray(conv_rulebook(nxt, t, kernel, stride))
+        ok = bool((want == np.asarray(crb)).all()) and bool(
+            (np.asarray(nxt.coords) == np.asarray(nxt2.coords)).all())
+        print(f"parity scale {s}->{s+1} conv rulebook(scatter): "
+              f"{'OK' if ok else 'MISMATCH'}")
+        if not ok:
+            failures.append(f"conv_rb_s{s}")
+        want = np.asarray(deconv_rulebook(t, nxt, kernel, stride))
+        ok = bool((want == np.asarray(drb)).all())
+        print(f"parity scale {s+1}->{s} deconv rulebook(scatter): "
+              f"{'OK' if ok else 'MISMATCH'}")
+        if not ok:
+            failures.append(f"deconv_rb_s{s}")
         t = nxt
 
     if failures:

@@ -32,10 +32,10 @@ import flax.linen as nn
 from detection_3d_tpu.config.defaults import Config
 from detection_3d_tpu.ops.sparse import (
     SparseTensor, build_sparse_tensor, submanifold_offsets, neighbor_indices,
-    downsample_table, conv_rulebook,
+    downsample_with_rulebooks,
 )
 from detection_3d_tpu.ops.sparse_conv import (
-    submanifold_conv, strided_conv, deconv, deconv_rulebook, nin_conv,
+    submanifold_conv, strided_conv, deconv, nin_conv,
 )
 from detection_3d_tpu.ops.norm import batch_norm_leaky_relu
 from detection_3d_tpu.ops.coords import INVALID
@@ -69,6 +69,28 @@ def bev_rulebook(bev_table: SparseTensor, table: SparseTensor):
     return jnp.where(found, idx, v_in)
 
 
+def bev_with_rulebook(table: SparseTensor, capacity: int):
+    """BEV table + (Z, V_bev) rulebook by SCATTER — zero searches.
+
+    Every 3D row's bev row comes free from the z=0 dedup sort
+    (build_sparse_tensor return_row_map); rb[z_i, bev_row_i] = i. Exact
+    equality with bev_collapse_table + bev_rulebook (tested)."""
+    coords = table.coords.at[:, 2].set(0)
+    X, Y, Z = table.spatial_size
+    v_in = table.capacity
+    feats = jnp.zeros((coords.shape[0], 0), table.feats.dtype)
+    bev_t, row_map = build_sparse_tensor(
+        coords, feats, table.row_valid, (X, Y, 1), table.batch_size,
+        capacity, reduce="sum", return_row_map=True)
+    ok = table.row_valid & (row_map < capacity)
+    z = table.coords[:, 2]
+    flat = jnp.where(ok, z * capacity + row_map, Z * capacity)
+    rb = jnp.full((Z * capacity + 1,), v_in, jnp.int32)
+    rb = rb.at[flat].set(jnp.arange(v_in, dtype=jnp.int32))[
+        :Z * capacity].reshape(Z, capacity)
+    return bev_t, rb
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def build_pyramid(table0: SparseTensor, cfg: Config) -> Dict[str, Any]:
     """All tables + rulebooks for one forward pass.
@@ -100,8 +122,7 @@ def build_pyramid(table0: SparseTensor, cfg: Config) -> Dict[str, Any]:
         windowed_rulebook,
     )
     from detection_3d_tpu.ops.pallas.match_kernel import (
-        neighbor_match_3x3x3, conv_rulebook_match, deconv_rulebook_match,
-        match_supported,
+        neighbor_match_3x3x3, match_supported,
     )
     use_fast = _jax.default_backend() == "tpu"
 
@@ -110,17 +131,21 @@ def build_pyramid(table0: SparseTensor, cfg: Config) -> Dict[str, Any]:
             return windowed_rulebook(idx, dest_table.row_valid, v_in)
         return idx
 
+    # strided conv + deconv rulebooks come as SCATTERS from the
+    # downsample dedup sort (ops/sparse.downsample_with_rulebooks) — no
+    # key searches on any backend
     tables = [accel(table0)]
     down_rb = []
+    up_rb_by_scale = []
     for k in range(1, n_scales):
         kernel, stride = s3d.kernels[k - 1], s3d.strides[k - 1]
-        t = downsample_table(tables[-1], kernel, stride, caps[k])
+        t, crb, drb = downsample_with_rulebooks(tables[-1], kernel,
+                                                stride, caps[k])
         t = accel(t)
-        crb = (conv_rulebook_match(t, tables[-1], kernel, stride)
-               if match_supported(tables[-1])
-               else conv_rulebook(t, tables[-1], kernel, stride))
         down_rb.append(fast_rb(crb, t, tables[-1].capacity))
+        up_rb_by_scale.append(fast_rb(drb, tables[-1], t.capacity))
         tables.append(t)
+    up_rb = up_rb_by_scale[::-1]
 
     def subm_rulebook(t):
         # windowed sorted-key match kernel replaces per-query binary
@@ -132,22 +157,12 @@ def build_pyramid(table0: SparseTensor, cfg: Config) -> Dict[str, Any]:
 
     subm_idx = [subm_rulebook(t) for t in tables]
 
-    up_rb = []
-    for k in range(n_scales - 1, 0, -1):
-        kernel, stride = s3d.kernels[k - 1], s3d.strides[k - 1]
-        drb = (deconv_rulebook_match(tables[k - 1], tables[k], kernel,
-                                     stride)
-               if match_supported(tables[k])
-               else deconv_rulebook(tables[k - 1], tables[k], kernel,
-                                    stride))
-        up_rb.append(fast_rb(drb, tables[k - 1], tables[k].capacity))
-
     bev = {}
     for slot, i_from_top in enumerate(cfg.rpn.rpn_scales_from_top):
         scale = n_scales - 1 - i_from_top
         t3d = tables[scale]
-        bev_t = bev_collapse_table(t3d, t3d.capacity).with_dense_grid(budget)
-        bev[slot] = (bev_t, bev_rulebook(bev_t, t3d))
+        bev_t, brb = bev_with_rulebook(t3d, t3d.capacity)
+        bev[slot] = (bev_t, fast_rb(brb, bev_t, t3d.capacity))
     return {"tables": tables, "subm_idx": subm_idx, "down_rb": down_rb,
             "up_rb": up_rb, "bev": bev}
 

@@ -48,7 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 from detection_3d_tpu.ops.coords import INVALID, lex_searchsorted, pack_key
 
 BLOCK = 512
-WINDOW = 3072          # rows per pass; usable span = WINDOW - ALIGN
+WINDOW = 2048          # rows per pass; usable span = WINDOW - ALIGN
+                       # (tools/tune_match.py: 2048 beats 3072 at every
+                       # bench scale; sweep cost per site ~ window)
 _ALIGN = 1024          # start alignment: 8 sublanes x 128 lanes (int32)
 _LANES = 128
 _BIG = 2 ** 30
@@ -196,43 +198,60 @@ def _match_call(hi, lo, starts, passes, d_hi, d_lo,
     )(starts, passes, hi128, lo128, hi3d, lo3d)
 
 
-def neighbor_match_3x3x3(table, interpret: bool = False):
+def neighbor_match_3x3x3(table, interpret: bool = False,
+                         block: int = None, window: int = None):
     """(27, V) submanifold rulebook via the windowed match kernel.
 
     Drop-in producer for ops/sparse.neighbor_indices(table, 3x3x3
     offsets): idx[k, i] = row of the neighbor of site i at offset k, or
     V when absent/out-of-grid. Caller gates on backend/size.
+    ``block``/``window`` override the sweep tile (tools/tune_match.py
+    picks them; every site compares against the whole window, so sweep
+    cost per site ~ window — smaller blocks keep the window tight but
+    the _ALIGN alignment slack floors it).
     """
     X, Y, Z = table.spatial_size
     v = table.capacity
     hi, lo = table.hi, table.lo
-    # xy offset groups g = (dx+1)*3 + (dy+1); k = g*3 + (dz+1)
-    d_hi = tuple(dx for dx in (-1, 0, 1) for _ in (0, 1, 2))
-    d_lo = tuple(dy * Z for _ in (0, 1, 2) for dy in (-1, 0, 1))
-    window = min(WINDOW, v)
+    # Match only HALF the offset neighborhood: neighbor(i, o) = j  <=>
+    # neighbor(j, -o) = i, so the 4 xy-groups with (dx > 0) or
+    # (dx == 0, dy > 0) come from a SCATTER INVERSION of their mirror
+    # group instead of their own window sweep — 5 sweeps instead of 9
+    # (the dz=+1 lanes of mirrored groups invert the mirror's dz=-1).
+    matched_xy = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0))
+    d_hi = tuple(dx for dx, dy in matched_xy)
+    d_lo = tuple(dy * Z for dx, dy in matched_xy)
+    block = block or BLOCK
+    window = min(window or WINDOW, v)
     starts, passes = match_plan(
         hi, lo, jnp.array(d_hi, jnp.int32), jnp.array(d_lo, jnp.int32), v,
-        window=window)
+        block=block, window=window)
     pos32 = _match_call(hi, lo, starts, passes, d_hi, d_lo,
-                        BLOCK, window, interpret)
-    pos = pos32[:, :27].T                          # (27, V)
+                        block, window, interpret)
 
     # mask wraps + missing + invalid rows in XLA from the coords
     x = table.coords[:, 0]
     y = table.coords[:, 1]
     z = table.coords[:, 2]
     rv = table.row_valid
+    rows = jnp.arange(v, dtype=jnp.int32)
+    out = {}
+    for g, (dx, dy) in enumerate(matched_xy):
+        for t, dz in enumerate((-1, 0, 1)):
+            pos = pos32[:, 3 * g + t]
+            inb = ((x + dx >= 0) & (x + dx < X) & (y + dy >= 0)
+                   & (y + dy < Y) & (z + dz >= 0) & (z + dz < Z) & rv)
+            found = inb & (pos < v)
+            idx = jnp.where(found, jnp.minimum(pos, v - 1), v)
+            out[(dx, dy, dz)] = idx.astype(jnp.int32)
+            if (dx, dy, dz) != (0, 0, 0):
+                # inverse offset by scatter: idx[i] = j -> inv[j] = i
+                inv = jnp.full((v + 1,), v, jnp.int32)
+                inv = inv.at[idx].set(rows, mode="drop")[:v]
+                out[(-dx, -dy, -dz)] = inv
     ks = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
           for dz in (-1, 0, 1)]
-    dxs = jnp.array([k[0] for k in ks], jnp.int32)[:, None]
-    dys = jnp.array([k[1] for k in ks], jnp.int32)[:, None]
-    dzs = jnp.array([k[2] for k in ks], jnp.int32)[:, None]
-    inb = ((x[None, :] + dxs >= 0) & (x[None, :] + dxs < X)
-           & (y[None, :] + dys >= 0) & (y[None, :] + dys < Y)
-           & (z[None, :] + dzs >= 0) & (z[None, :] + dzs < Z)
-           & rv[None, :])
-    found = inb & (pos < v)
-    return jnp.where(found, jnp.minimum(pos, v - 1), v).astype(jnp.int32)
+    return jnp.stack([out[k] for k in ks])
 
 
 def match_supported(table) -> bool:

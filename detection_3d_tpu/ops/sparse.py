@@ -207,9 +207,11 @@ class SparseTensor:
 
 
 @functools.partial(jax.jit, static_argnames=("spatial_size", "batch_size",
-                                             "capacity", "reduce"))
+                                             "capacity", "reduce",
+                                             "return_row_map"))
 def build_sparse_tensor(coords, feats, valid, spatial_size, batch_size,
-                        capacity: int, reduce: str = "mean"):
+                        capacity: int, reduce: str = "mean",
+                        return_row_map: bool = False):
     """Deduplicating input layer: raw voxel coords -> SparseTensor.
 
     Equivalent of SCN InputLayer mode=4 (dedup + average duplicate features,
@@ -222,13 +224,20 @@ def build_sparse_tensor(coords, feats, valid, spatial_size, batch_size,
       coords: (N, 4) int32 [x, y, z, b];
       feats: (N, C);
       valid: (N,) bool or None;
-      capacity: static output table size (pad/truncate to this many voxels).
+      capacity: static output table size (pad/truncate to this many voxels);
+      return_row_map: also return (N,) int32 — for every INPUT row, the
+        output table row holding its voxel (== capacity when the row was
+        invalid or its voxel was dropped by capacity overflow). This is
+        the free by-product of the dedup sort that lets downsample
+        rulebooks be built by SCATTER instead of key search
+        (:func:`downsample_with_rulebooks`).
     """
     n = coords.shape[0]
     if valid is None:
         valid = jnp.ones((n,), bool)
     hi, lo = pack_key(coords, spatial_size, valid)
-    hi, lo, coords_s, feats_s = lex_sort(hi, lo, coords, feats)
+    order = jnp.lexsort((lo, hi))
+    hi, lo, coords_s, feats_s = (a[order] for a in (hi, lo, coords, feats))
     seg_id, is_first, num_vox = unique_consecutive_segments(hi, lo)
 
     # Capacity overflow: keep every k-th segment (k = ceil(num/cap))
@@ -274,8 +283,14 @@ def build_sparse_tensor(coords, feats, valid, spatial_size, batch_size,
     out_coords = jnp.where(row_ok[:, None], out_coords, INVALID)
     out_hi = jnp.where(row_ok, out_hi, INVALID)
     out_lo = jnp.where(row_ok, out_lo, INVALID)
-    return SparseTensor(out_coords, out_feats, out_hi, out_lo, num,
-                        spatial_size, batch_size, true_num=num_vox)
+    table = SparseTensor(out_coords, out_feats, out_hi, out_lo, num,
+                         spatial_size, batch_size, true_num=num_vox)
+    if not return_row_map:
+        return table
+    slot_sorted = jnp.where(row_on & (slot < num), slot,
+                            capacity).astype(jnp.int32)
+    row_map = jnp.zeros((n,), jnp.int32).at[order].set(slot_sorted)
+    return table, row_map
 
 
 def submanifold_offsets(kernel: Tuple[int, int, int]):
@@ -420,6 +435,84 @@ def downsample_table(table: SparseTensor, kernel, stride, capacity: int):
     empty_feats = jnp.zeros((coords_all.shape[0], 0), table.feats.dtype)
     return build_sparse_tensor(coords_all, empty_feats, valid_all, out_size,
                                table.batch_size, capacity, reduce="sum")
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "stride", "capacity"))
+def downsample_with_rulebooks(table: SparseTensor, kernel, stride,
+                              capacity: int):
+    """Strided-conv output table + conv AND deconv rulebooks in one pass,
+    with ZERO key searches.
+
+    The candidate expansion of :func:`downsample_table` already knows
+    every (input row, output site, kernel offset) triple, and the dedup
+    sort inside build_sparse_tensor assigns each candidate its output
+    row (``return_row_map``) — so both rulebooks are single scatters of
+    that mapping. Replaces downsample_table + conv_rulebook(+match) +
+    deconv_rulebook(+match); exact-equality tested against the searched
+    versions. (The reference builds the same pairs imperatively inside
+    its CPU hash loop, SCN/Metadata/ConvolutionRules.h:11-60.)
+
+    Returns (out_table, conv_rb (K, capacity), deconv_rb (K, V_in)).
+    """
+    ksz = tuple(kernel)
+    st = tuple(stride)
+    reach = [max(1, -(-k // s)) for k, s in zip(ksz, st)]
+    out_size = tuple(-(-d // s) for d, s in zip(table.spatial_size, st))
+    v_in = table.capacity
+    kvol = ksz[0] * ksz[1] * ksz[2]
+
+    x = table.coords[:, 0]
+    y = table.coords[:, 1]
+    z = table.coords[:, 2]
+    b = table.coords[:, 3]
+    rv = table.row_valid
+    cand_coords = []
+    cand_valid = []
+    cand_koff = []
+    for ax_off_x in range(reach[0]):
+        for ax_off_y in range(reach[1]):
+            for ax_off_z in range(reach[2]):
+                ox = x // st[0] - ax_off_x
+                oy = y // st[1] - ax_off_y
+                oz = z // st[2] - ax_off_z
+                kx = x - ox * st[0]
+                ky = y - oy * st[1]
+                kz = z - oz * st[2]
+                okx = (kx < ksz[0]) & (ox >= 0)
+                oky = (ky < ksz[1]) & (oy >= 0)
+                okz = (kz < ksz[2]) & (oz >= 0)
+                cand_coords.append(jnp.stack([ox, oy, oz, b], axis=-1))
+                cand_valid.append(okx & oky & okz & rv)
+                cand_koff.append((kx * ksz[1] + ky) * ksz[2] + kz)
+    coords_all = jnp.concatenate(cand_coords, axis=0)
+    valid_all = jnp.concatenate(cand_valid, axis=0)
+    koff_all = jnp.concatenate(cand_koff, axis=0)
+    n_rep = len(cand_coords)
+
+    empty = jnp.zeros((coords_all.shape[0], 0), table.feats.dtype)
+    out_table, row_map = build_sparse_tensor(
+        coords_all, empty, valid_all, out_size, table.batch_size,
+        capacity, reduce="sum", return_row_map=True)
+
+    src_row = jnp.tile(jnp.arange(v_in, dtype=jnp.int32), n_rep)
+    ok = valid_all & (row_map < capacity)
+    koff = jnp.where(ok, koff_all, kvol)   # sentinel -> overflow slot
+
+    # conv rulebook: idx[k, out_row] = input row (or v_in when absent).
+    # each (k, out_row) has at most ONE input (site out*stride+k), so the
+    # scatter never collides.
+    flat_c = jnp.where(ok, koff * capacity + row_map, kvol * capacity)
+    conv_rb = jnp.full((kvol * capacity + 1,), v_in, jnp.int32)
+    conv_rb = conv_rb.at[flat_c].set(src_row)[
+        :kvol * capacity].reshape(kvol, capacity)
+
+    # deconv rulebook: didx[k, in_row] = out row (or capacity when the
+    # offset k does not land this input on an output site).
+    flat_d = jnp.where(ok, koff * v_in + src_row, kvol * v_in)
+    deconv_rb = jnp.full((kvol * v_in + 1,), capacity, jnp.int32)
+    deconv_rb = deconv_rb.at[flat_d].set(row_map.astype(jnp.int32))[
+        :kvol * v_in].reshape(kvol, v_in)
+    return out_table, conv_rb, deconv_rb
 
 
 @functools.partial(jax.jit, static_argnames=("kernel", "stride"))

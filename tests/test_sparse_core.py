@@ -314,3 +314,63 @@ def test_grouped_rulebooks_match_plain():
     crb_grouped = np.asarray(conv_rulebook(out_plain, gridded,
                                            (2, 2, 2), (2, 2, 2)))
     np.testing.assert_array_equal(crb_plain, crb_grouped)
+
+
+def test_downsample_with_rulebooks_matches_searched():
+    """Scatter-derived rulebooks (downsample_with_rulebooks) must equal
+    the searched conv_rulebook / deconv_rulebook exactly — including
+    kernel>stride overlap and capacity overflow."""
+    from detection_3d_tpu.ops.sparse import downsample_with_rulebooks
+
+    rng = np.random.RandomState(0)
+    coords = np.unique(
+        rng.randint(0, 16, (600, 3)).astype(np.int32), axis=0)
+    coords = np.c_[coords, np.zeros((coords.shape[0], 1), np.int32)]
+    feats = rng.randn(coords.shape[0], 2).astype(np.float32)
+    for kernel, stride, cap in (((2, 2, 2), (2, 2, 2), 512),
+                                ((4, 2, 2), (2, 2, 2), 512),
+                                ((2, 2, 2), (2, 2, 2), 64)):  # overflow
+        t = make_table(coords, feats, (16, 16, 16), cap=640)
+        ref_t = downsample_table(t, kernel, stride, cap)
+        ref_c = conv_rulebook(ref_t, t, kernel, stride)
+        ref_d = deconv_rulebook(t, ref_t, kernel, stride)
+        out_t, crb, drb = downsample_with_rulebooks(t, kernel, stride,
+                                                    cap)
+        np.testing.assert_array_equal(np.asarray(out_t.coords),
+                                      np.asarray(ref_t.coords))
+        assert int(out_t.num) == int(ref_t.num)
+        np.testing.assert_array_equal(np.asarray(crb), np.asarray(ref_c))
+        np.testing.assert_array_equal(np.asarray(drb), np.asarray(ref_d))
+
+
+def test_build_sparse_tensor_row_map():
+    coords = np.array([[0, 0, 0, 0], [1, 1, 1, 0], [0, 0, 0, 0],
+                       [5, 5, 5, 0]], np.int32)
+    feats = np.ones((4, 1), np.float32)
+    t, row_map = build_sparse_tensor(
+        jnp.array(coords), jnp.array(feats), jnp.ones((4,), bool),
+        (8, 8, 8), 1, 8, return_row_map=True)
+    rm = np.asarray(row_map)
+    tc = np.asarray(t.coords)
+    for i in range(4):
+        assert (tc[rm[i], :3] == coords[i, :3]).all()
+    assert rm[0] == rm[2]  # duplicates share the output row
+
+
+def test_bev_with_rulebook_matches_searched():
+    from detection_3d_tpu.models.backbone import (
+        bev_collapse_table, bev_rulebook, bev_with_rulebook,
+    )
+
+    rng = np.random.RandomState(1)
+    coords = np.unique(rng.randint(0, 8, (200, 3)).astype(np.int32),
+                       axis=0)
+    coords = np.c_[coords, np.zeros((coords.shape[0], 1), np.int32)]
+    feats = rng.randn(coords.shape[0], 2).astype(np.float32)
+    t = make_table(coords, feats, (8, 8, 8), cap=256)
+    ref_bev = bev_collapse_table(t, 256)
+    ref_rb = bev_rulebook(ref_bev, t)
+    bev_t, rb = bev_with_rulebook(t, 256)
+    np.testing.assert_array_equal(np.asarray(bev_t.coords),
+                                  np.asarray(ref_bev.coords))
+    np.testing.assert_array_equal(np.asarray(rb), np.asarray(ref_rb))
