@@ -46,30 +46,55 @@ def map_levels(cfg: Config, boxes):
     return jnp.argmin(dif, axis=1)
 
 
+def merge_roi_levels(cfg: Config, roi_maps: Sequence[SparseTensor]):
+    """Stack all FPN roi levels into ONE sparse table whose batch axis is
+    the level index. One roi_align pass over the merged table replaces
+    one full pass per level (each roi belongs to exactly one level, so
+    the per-level passes wasted (L-1)/L of their lookups/gathers on rois
+    whose result was then masked to zero)."""
+    from detection_3d_tpu.ops.sparse import build_sparse_tensor
+
+    L = len(roi_maps)
+    if L == 1:
+        return roi_maps[0]
+    X = max(t.spatial_size[0] for t in roi_maps)
+    Y = max(t.spatial_size[1] for t in roi_maps)
+    Z = max(t.spatial_size[2] for t in roi_maps)
+    coords = jnp.concatenate(
+        [t.coords.at[:, 3].set(li) for li, t in enumerate(roi_maps)])
+    feats = jnp.concatenate([t.feats for t in roi_maps])
+    valid = jnp.concatenate([t.row_valid for t in roi_maps])
+    cap = sum(t.capacity for t in roi_maps)
+    merged = build_sparse_tensor(coords, feats, valid, (X, Y, Z), L, cap,
+                                 reduce="sum")
+    return merged.with_dense_grid(cfg.caps.dense_grid_max_entries)
+
+
 def pool_rois(cfg: Config, roi_maps: Sequence[SparseTensor],
-              proposals: Boxes3D):
+              proposals: Boxes3D, merged: SparseTensor = None):
     """(R, os0, os1, os2, C) pooled features across FPN levels.
 
-    Proposals are yx_zb in meters; each level pools in its own voxel units
-    (x voxel_scale x spatial_scale), then per-roi level assignment selects
-    which level's result survives (poolers_3d.py:126-168).
+    Proposals are yx_zb in meters; each roi pools at ITS assigned
+    level's voxel scale (x voxel_scale x spatial_scale) in one merged
+    multi-level pass (level = batch coordinate; see merge_roi_levels —
+    the reference instead densifies each level and masks per level,
+    poolers_3d.py:126-168).
     """
     os = cfg.roi.pooler_resolution
     sr = cfg.roi.pooler_sampling_ratio
     levels = map_levels(cfg, proposals.boxes)
     std = yx_zb_to_standard(proposals.boxes)  # [xc,yc,zc,xs,ys,zs,yaw]
     vs = float(cfg.sparse3d.voxel_scale)
+    if merged is None:
+        merged = merge_roi_levels(cfg, roi_maps)
 
-    pooled = None
-    for li, (table, scale) in enumerate(
-            zip(roi_maps, cfg.roi_spatial_scales())):
-        factor = vs * scale
-        rois = jnp.concatenate(
-            [std[:, :6] * factor, std[:, 6:7]], axis=-1)
-        valid_l = proposals.valid & (levels == li)
-        p = roi_align_rotated_sparse(table, rois, valid_l, os, sr)
-        pooled = p if pooled is None else pooled + p
-    return pooled
+    factors = vs * jnp.asarray(cfg.roi_spatial_scales(),
+                               std.dtype)            # (L,)
+    f = factors[levels][:, None]                     # (R, 1) per-roi
+    rois = jnp.concatenate([std[:, :6] * f, std[:, 6:7]], axis=-1)
+    roi_batch = levels if len(roi_maps) > 1 else None
+    return roi_align_rotated_sparse(merged, rois, proposals.valid, os,
+                                    sr, roi_batch=roi_batch)
 
 
 class ROIBoxFeatureExtractor(nn.Module):

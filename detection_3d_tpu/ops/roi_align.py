@@ -48,13 +48,17 @@ def _sample_offsets(num_bins: int, ratio: int, size):
 @functools.partial(jax.jit, static_argnames=("out_size", "sampling_ratio"))
 def roi_align_rotated_sparse(table: SparseTensor, rois, roi_valid,
                              out_size: Tuple[int, int, int],
-                             sampling_ratio: int = 2):
+                             sampling_ratio: int = 2, roi_batch=None):
     """Args:
       table: SparseTensor feature map (V, C) at some FPN level;
       rois: (R, 7) standard-mode boxes in THIS LEVEL's voxel units
         [xc, yc, zc, xs, ys, zs, yaw];
       roi_valid: (R,) bool;
-      out_size: (os0, os1, os2) bins along (x_size, y_size, z_size).
+      out_size: (os0, os1, os2) bins along (x_size, y_size, z_size);
+      roi_batch: optional (R,) int32 batch coordinate per roi — used by
+        the merged multi-level pooler (models/roi_head.pool_rois), where
+        the "batch" axis of the table is the FPN level, so ALL levels
+        pool in ONE pass instead of one full pass per level.
 
     Returns (R, os0, os1, os2, C) pooled features (invalid rois zero).
     """
@@ -84,7 +88,7 @@ def roi_align_rotated_sparse(table: SparseTensor, rois, roi_valid,
 
     X, Y, Z = table.spatial_size
 
-    def trilinear(px, py, pz):
+    def trilinear(px, py, pz, pb):
         """px/py/pz: (...,) continuous coords -> (..., C) features.
 
         All 8 corner lookups resolve in ONE vectorized binary search; the
@@ -117,7 +121,7 @@ def roi_align_rotated_sparse(table: SparseTensor, rois, roi_valid,
         w8 = wx * wy * wz                                       # (8, ...)
 
         q = jnp.stack([corner_x, corner_y, corner_z,
-                       jnp.zeros_like(corner_x)], axis=-1)      # (8,...,4)
+                       jnp.broadcast_to(pb, corner_x.shape)], axis=-1)
         idx, found = table.lookup(q)
         idx = jnp.where(found, idx, table.capacity)
 
@@ -136,7 +140,12 @@ def roi_align_rotated_sparse(table: SparseTensor, rois, roi_valid,
     px = jnp.broadcast_to(gx[:, :, :, None], (r, os0 * sr, os1 * sr, os2 * sr))
     py = jnp.broadcast_to(gy[:, :, :, None], (r, os0 * sr, os1 * sr, os2 * sr))
     pz = jnp.broadcast_to(gz[:, None, None, :], (r, os0 * sr, os1 * sr, os2 * sr))
-    vals = trilinear(px, py, pz)  # (R, os0*sr, os1*sr, os2*sr, C)
+    if roi_batch is None:
+        pb = jnp.zeros((r, 1, 1, 1), jnp.int32)
+    else:
+        pb = roi_batch.astype(jnp.int32)[:, None, None, None]
+    pb = jnp.broadcast_to(pb, px.shape)[None]  # shared by all 8 corners
+    vals = trilinear(px, py, pz, pb)  # (R, os0*sr, os1*sr, os2*sr, C)
 
     pooled = vals.reshape(r, os0, sr, os1, sr, os2, sr, c).mean(
         axis=(2, 4, 6))
