@@ -83,3 +83,34 @@ def test_save_results(tmp_path):
     assert "wall" in text and "iou_thresh" in text
     import os
     assert os.path.exists(tmp_path / "performance_res.npz")
+
+
+def test_detail_table_and_pr_curves(tmp_path):
+    """performance_str-style detail rows + PR curve export
+    (suncg_eval.py:213-332, 579-688)."""
+    # 3 preds: scores 0.9 TP, 0.8 TP, 0.4 FP on 2 gts
+    preds = [{"boxes": np.array([[1, 1, 0, 0.1, 2, 2.7, 0.0],
+                                 [4, 1, 0, 0.1, 2, 2.7, 0.0],
+                                 [9, 9, 0, 0.1, 2, 2.7, 0.0]], np.float32),
+              "scores": np.array([0.9, 0.8, 0.4]),
+              "labels": np.array([1, 1, 1])}]
+    gts = [{"boxes": np.array([[1, 1, 0, 0.1, 2, 2.7, 0.0],
+                               [4, 1, 0, 0.1, 2, 2.7, 0.0]], np.float32),
+            "labels": np.array([1, 1])}]
+    r = evaluate_detections(preds, gts, 2, 0.2,
+                            class_names=("background", "wall"))
+    assert 1 in r.curves
+    c = r.curves[1]
+    np.testing.assert_allclose(c["rec"], [0.5, 1.0, 1.0])
+    np.testing.assert_allclose(c["prec"], [1.0, 1.0, 2 / 3])
+    assert (c["match"] == [1, 1, 0]).all()
+    table = r.detail_table()
+    assert "st5 prec" in table and "r9p" in table and "gt num" in table
+    # operating point score >= 0.5: 2 TPs, prec 1.0, rec 1.0
+    p = save_results(r, str(tmp_path), 1, 0.2, epoch=1)
+    text = open(p).read()
+    assert "st5 prec" in text
+    import os
+    assert os.path.exists(tmp_path / "pr_curves.png")
+    z = np.load(tmp_path / "performance_res.npz")
+    assert "curve_1_prec" in z

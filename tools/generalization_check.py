@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Train on many varied synthetic buildings, evaluate on HELD-OUT ones.
+
+The reference's quality numbers are test-split results over 1,311 unseen
+buildings (/root/reference/README.md:19-24; test protocol
+data3d/evaluation/suncg/suncg_eval.py:714-965). Overfit checks
+(tools/overfit_check.py) validate the machinery but say nothing about
+generalization — this gate does: train on --train-scenes randomized
+multi-room buildings (varied floor plans / sizes / yaw / openings /
+density, data/synthetic.py synthetic_varied_building), evaluate per-class
+AP/AIoU on --test-scenes buildings from DISJOINT seeds with the full
+evaluator, and gate on held-out mean AP.
+
+Usage: python tools/generalization_check.py [--train-scenes 50]
+          [--test-scenes 15] [--epochs 60] [--gate 0.7]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def gen_config():
+    from detection_3d_tpu.config import (CapacityConfig, Config,
+                                         Sparse3DConfig)
+    from detection_3d_tpu.config.defaults import (ROIConfig, RPNConfig,
+                                                  SolverConfig)
+
+    # scenes reach ~20 m x 25 vox/m = 500 < 1024; height 3.2 m -> 80 < 128
+    return Config(
+        classes=("background", "wall", "door", "window", "ceiling",
+                 "floor"),
+        sparse3d=Sparse3DConfig(
+            voxel_scale=25,
+            voxel_full_scale=(1024, 1024, 128),
+            nplanes_front=(16, 32, 32, 64, 64),
+            kernels=((2, 2, 2),) * 4,
+            strides=((2, 2, 2),) * 4,
+            nplane_map=32,
+        ),
+        rpn=RPNConfig(
+            rpn_scales_from_top=(3, 2, 1),
+            rpn_3d_2d_selector=(0, 1, 2, 3, 4, 5),
+            # class-matched anchors (see tools/overfit_check.py rationale;
+            # reference 6c set 6c_Fpn4321_bs1_lr5.yaml ANCHOR_SIZES_3D)
+            anchor_sizes_3d=((0.4, 1.5, 2.7),    # wall pieces
+                             (0.4, 0.9, 2.0),    # door
+                             (0.4, 1.2, 1.0),    # window
+                             (0.6, 2.5, 2.7),    # long wall pieces
+                             (4.5, 4.5, 0.8),    # ceiling/floor slab
+                             (0.2, 0.9, 2.7)),   # short wall stubs
+            use_yaws=(1, 1, 1, 1, 0, 1),
+            fpn_pre_nms_top_n_train=2048, fpn_pre_nms_top_n_test=2048,
+            fpn_post_nms_top_n_train=512, fpn_post_nms_top_n_test=512,
+            batch_size_per_image=256,
+        ),
+        roi=ROIConfig(
+            pooler_scales_from_top=(3, 2),
+            batch_size_per_image=256, detections_per_img=100,
+            mlp_head_dim=128,
+        ),
+        backbone_out_channels=32,
+        solver=SolverConfig(base_lr=0.01, warmup_epochs=2,
+                            lr_step_epochs=(40, 55), epochs=1,
+                            checkpoint_period_epochs=100000),
+        caps=CapacityConfig(max_points=45_000,
+                            voxel_caps=(65536, 32768, 16384, 8192, 4096),
+                            max_gt=96,
+                            dense_grid_max_entries=1 << 26),
+        output_dir="/tmp/generalization_check",
+    ).validate()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train-scenes", type=int, default=50)
+    ap.add_argument("--test-scenes", type=int, default=15)
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--gate", type=float, default=0.7)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip training, evaluate the saved checkpoint")
+    args = ap.parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    import numpy as np
+
+    from detection_3d_tpu.data.synthetic import synthetic_varied_building
+    from detection_3d_tpu.engine.inference import run_inference
+    from detection_3d_tpu.engine.trainer import Trainer
+    from detection_3d_tpu.evaluation.detection_eval import save_results
+    from detection_3d_tpu.utils.logger import setup_logger
+
+    cfg = gen_config()
+    logger = setup_logger("generalization")
+
+    # disjoint seed ranges: train [0, N), held-out [10000, 10000 + M)
+    t0 = time.time()
+    train_scenes = [synthetic_varied_building(
+        seed=i, num_points=35_000, classes=cfg.classes,
+        voxel_scale=cfg.sparse3d.voxel_scale)
+        for i in range(args.train_scenes)]
+    test_scenes = [synthetic_varied_building(
+        seed=10_000 + i, num_points=35_000, classes=cfg.classes,
+        voxel_scale=cfg.sparse3d.voxel_scale)
+        for i in range(args.test_scenes)]
+    logger.info("generated %d train + %d held-out scenes in %.0fs",
+                len(train_scenes), len(test_scenes), time.time() - t0)
+
+    trainer = Trainer(cfg, logger=logger)
+    state = trainer.init_state(train_scenes[0],
+                               iters_per_epoch=len(train_scenes))
+    if args.resume:
+        ck = trainer.checkpointer.load(
+            {"params": state.params, "opt_state": state.opt_state,
+             "step": state.step})
+        if ck:
+            state = state.replace(params=ck["params"],
+                                  opt_state=ck["opt_state"],
+                                  step=ck["step"])
+    else:
+        state = trainer.train(train_scenes, state, epochs=args.epochs)
+
+    logger.info("evaluating %d HELD-OUT scenes", len(test_scenes))
+    _, result, spb = run_inference(cfg, state.params, test_scenes,
+                                   logger=logger)
+    save_results(result, cfg.output_dir, len(test_scenes),
+                 cfg.test.iou_threshold, epoch=args.epochs)
+
+    print("\nHELD-OUT " + result.summary())
+    print(f"\nmean AP: {result.ap[0]:.4f}  mean AIoU: {result.aiou[0]:.4f}"
+          f"  sec/building: {spb:.3f}")
+    names = cfg.ordered_class_names()
+    ok = True
+    for l in range(1, cfg.num_classes):
+        if result.n_gt[l] == 0:
+            continue
+        apl = result.ap[l]
+        ok_l = np.isfinite(apl) and apl > 0.3
+        print(f"  class {names[l]:8s} AP={apl:.3f} AIoU={result.aiou[l]:.3f}"
+              f" {'ok' if ok_l else 'FAIL'}")
+        ok &= ok_l
+    ok &= result.ap[0] >= args.gate
+    print(f"GENERALIZATION CHECK (gate mean AP >= {args.gate}):",
+          "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
