@@ -93,6 +93,10 @@ class DetectionEvalResult:
     missed_rate: np.ndarray   # per-class missed-gt fraction
     multi_rate: np.ndarray    # per-class multi-pred-gt fraction
     class_names: Sequence[str]
+    # per-class pooled curves, sorted by score desc: dict label ->
+    # {"prec", "rec", "score", "iou"} (suncg_eval.py's
+    # recall_precision_score_iou source data)
+    curves: Optional[Dict[int, Dict[str, np.ndarray]]] = None
 
     def summary(self) -> str:
         lines = ["class      AP      AIoU    #gt   missed  multi"]
@@ -103,6 +107,112 @@ class DetectionEvalResult:
                 f"{int(self.n_gt[i]):>4d}  {self.missed_rate[i]:.3f}  "
                 f"{self.multi_rate[i]:.3f}")
         return "\n".join(lines)
+
+    # -- performance_str-style detail table (suncg_eval.py:213-332) --------
+    def _at_score(self, c, thr):
+        """(prec, rec) of the operating point score >= thr."""
+        m = c["score"] >= thr
+        if not m.any():
+            return np.nan, 0.0
+        i = int(m.sum()) - 1               # last index with score >= thr
+        return float(c["prec"][i]), float(c["rec"][i])
+
+    def _at_recall(self, c, r):
+        """(prec, score) at the first point reaching recall >= r."""
+        m = c["rec"] >= r
+        if not m.any():
+            return 0.0, np.nan
+        i = int(np.argmax(m))
+        return float(c["prec"][i]), float(c["score"][i])
+
+    def detail_table(self) -> str:
+        """Per-class operating-point table — the analogue of the
+        reference's performance_str (suncg_eval.py:213-332): precision /
+        recall at score thresholds 0.5 / 0.7, precision + score at
+        recall 0.7 / 0.9, matched-IoU and score statistics, multi-pred
+        and gt-count diagnostics. Column 0 aggregates foreground."""
+        n = len(self.class_names)
+        rows: Dict[str, list] = {k: [] for k in (
+            "AP", "AIoU", "st5 prec", "st5 rec", "st7 prec", "st7 rec",
+            "r7p", "r9p", "r7s", "r9s", "iou mean", "iou std", "iou min",
+            "score mean", "score std", "score min", "missed gt",
+            "multi gt", "gt num")}
+        for i in range(1, n):
+            c = (self.curves or {}).get(i)
+            if c is None or c["score"].size == 0:
+                for k in rows:
+                    rows[k].append(np.nan)
+                rows["gt num"][-1] = float(self.n_gt[i])
+                rows["AP"][-1] = self.ap[i]
+                rows["AIoU"][-1] = self.aiou[i]
+                continue
+            p5, r5 = self._at_score(c, 0.5)
+            p7, r7 = self._at_score(c, 0.7)
+            rp7, rs7 = self._at_recall(c, 0.7)
+            rp9, rs9 = self._at_recall(c, 0.9)
+            tp_iou = c["iou"][c["match"] == 1]
+            rows["AP"].append(self.ap[i])
+            rows["AIoU"].append(self.aiou[i])
+            rows["st5 prec"].append(p5)
+            rows["st5 rec"].append(r5)
+            rows["st7 prec"].append(p7)
+            rows["st7 rec"].append(r7)
+            rows["r7p"].append(rp7)
+            rows["r9p"].append(rp9)
+            rows["r7s"].append(rs7)
+            rows["r9s"].append(rs9)
+            rows["iou mean"].append(tp_iou.mean() if tp_iou.size else np.nan)
+            rows["iou std"].append(tp_iou.std() if tp_iou.size else np.nan)
+            rows["iou min"].append(tp_iou.min() if tp_iou.size else np.nan)
+            rows["score mean"].append(c["score"].mean())
+            rows["score std"].append(c["score"].std())
+            rows["score min"].append(c["score"].min())
+            rows["missed gt"].append(self.missed_rate[i])
+            rows["multi gt"].append(self.multi_rate[i])
+            rows["gt num"].append(float(self.n_gt[i]))
+        names = ["mean"] + [str(x) for x in self.class_names[1:]]
+        out = [f"{'class':<12}" + "  ".join(f"{c:<9}" for c in names)]
+        with np.errstate(invalid="ignore"):
+            for k, vals in rows.items():
+                vals = np.asarray(vals, np.float64)
+                lead = np.nanmean(vals) if np.isfinite(vals).any() \
+                    else np.nan
+                allv = [lead] + list(vals)
+                if k == "gt num":
+                    cells = "  ".join(f"{(0 if np.isnan(v) else int(v)):<9d}"
+                                      for v in allv)
+                else:
+                    cells = "  ".join(f"{v * 100:<9.2f}" for v in allv)
+                out.append(f"{k:<12}" + cells)
+        return "\n".join(out)
+
+    def plot_pr_curves(self, path: str):
+        """PR-curve figure, one line per class (the reference draws PR
+        PNGs in suncg_eval.py:579-688). Returns path or None when
+        matplotlib is unavailable."""
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:           # pragma: no cover - optional dep
+            return None
+        fig, ax = plt.subplots(figsize=(6, 5))
+        for i in range(1, len(self.class_names)):
+            c = (self.curves or {}).get(i)
+            if c is None or c["rec"].size == 0:
+                continue
+            ax.plot(c["rec"], c["prec"],
+                    label=f"{self.class_names[i]} (AP {self.ap[i]:.2f})")
+        ax.set_xlabel("recall")
+        ax.set_ylabel("precision")
+        ax.set_xlim(0, 1.0)
+        ax.set_ylim(0, 1.05)
+        ax.grid(True, alpha=0.3)
+        ax.legend(loc="lower left", fontsize=8)
+        fig.tight_layout()
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        return path
 
 
 def evaluate_detections(predictions: List[Dict], groundtruths: List[Dict],
@@ -121,6 +231,7 @@ def evaluate_detections(predictions: List[Dict], groundtruths: List[Dict],
     n_pos = np.zeros(num_classes, np.int64)
     score_acc = defaultdict(list)
     match_acc = defaultdict(list)
+    iou_acc = defaultdict(list)       # best IoU per pred (curve column)
     good_ious = defaultdict(list)     # AIoU source
     missed = np.zeros(num_classes, np.int64)
     multi = np.zeros(num_classes, np.int64)
@@ -142,6 +253,7 @@ def evaluate_detections(predictions: List[Dict], groundtruths: List[Dict],
             score_acc[l].extend(scores_l)
             if gm.sum() == 0:
                 match_acc[l].extend([0] * len(scores_l))
+                iou_acc[l].extend([0.0] * len(scores_l))
                 continue
             iou = np.asarray(boxes_iou_3d(
                 gb[gm].astype(np.float32), boxes_l.astype(np.float32),
@@ -149,6 +261,7 @@ def evaluate_detections(predictions: List[Dict], groundtruths: List[Dict],
             match, best_iou, gt_index = match_predictions_to_gt(
                 iou, iou_thresh)
             match_acc[l].extend(match)
+            iou_acc[l].extend(best_iou)
 
             # AIoU bookkeeping: per gt, the highest-score matched pred
             pred_count = np.zeros(gm.sum(), np.int64)
@@ -166,12 +279,17 @@ def evaluate_detections(predictions: List[Dict], groundtruths: List[Dict],
 
     ap = np.full(num_classes, np.nan)
     aiou = np.full(num_classes, np.nan)
+    curves: Dict[int, Dict[str, np.ndarray]] = {}
     for l in range(1, num_classes):
         if len(score_acc[l]) == 0 or n_pos[l] == 0:
             continue
-        prec, rec, _, _ = accumulate_prec_rec(
-            score_acc[l], match_acc[l], np.zeros(len(score_acc[l])),
-            int(n_pos[l]))
+        prec, rec, scores_s, ious_s = accumulate_prec_rec(
+            score_acc[l], match_acc[l], iou_acc[l], int(n_pos[l]))
+        order = np.argsort(-np.asarray(score_acc[l], np.float64),
+                           kind="stable")
+        curves[l] = {"prec": prec, "rec": rec, "score": scores_s,
+                     "iou": ious_s,
+                     "match": np.asarray(match_acc[l])[order]}
         ap[l] = voc_ap_07(prec, rec)
         if good_ious[l]:
             aiou[l] = float(np.mean(good_ious[l]))
@@ -184,7 +302,7 @@ def evaluate_detections(predictions: List[Dict], groundtruths: List[Dict],
     names = class_names or [str(i) for i in range(num_classes)]
     return DetectionEvalResult(ap=ap, aiou=aiou, n_gt=n_pos,
                                missed_rate=missed_rate, multi_rate=multi_rate,
-                               class_names=names)
+                               class_names=names, curves=curves)
 
 
 def save_results(result: DetectionEvalResult, output_folder: str,
@@ -200,9 +318,15 @@ def save_results(result: DetectionEvalResult, output_folder: str,
         f.write(f"\n\niou_thresh: {iou_thresh}\n")
         if epoch is not None:
             f.write(f"epoch: {epoch}\ndata number: {num_examples}\n")
-        f.write(result.summary() + "\n")
+        f.write(result.summary() + "\n\n")
+        f.write(result.detail_table() + "\n")
+    extra = {}
+    for l, c in (result.curves or {}).items():
+        for k, v in c.items():
+            extra[f"curve_{l}_{k}"] = v
     np.savez(os.path.join(output_folder, "performance_res.npz"),
              ap=result.ap, aiou=result.aiou, n_gt=result.n_gt,
              missed_rate=result.missed_rate, multi_rate=result.multi_rate,
-             class_names=np.array(result.class_names))
+             class_names=np.array(result.class_names), **extra)
+    result.plot_pr_curves(os.path.join(output_folder, "pr_curves.png"))
     return path
