@@ -216,26 +216,32 @@ class Trainer:
             table = voxelize_points(cfg, batch["points"], batch["feats"],
                                     batch["points_valid"])
             gt = Boxes3D(batch["gt_boxes"], batch["gt_valid"])
-            losses, _ = model.apply(params, table, gt, batch["gt_labels"],
-                                    is_train=True, rng=rng)
+            losses, res = model.apply(params, table, gt,
+                                      batch["gt_labels"],
+                                      is_train=True, rng=rng)
+            dets = ()
+            if cfg.eval_in_train:
+                dets = (res.boxes, res.valid, res.fields["scores"],
+                        res.fields["labels"])
             return (sum(jax.tree_util.tree_leaves(losses)),
-                    (losses, table.true_num))
+                    (losses, table.true_num, dets))
 
         def local_loss(params, batch, rng):
             # decorrelate sampling randomness across dp shards
             rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
             b = batch["points"].shape[0]
             keys = jax.random.split(rng, b)
-            totals, (losses, tns) = jax.vmap(
+            totals, (losses, tns, dets) = jax.vmap(
                 lambda bt, k: building_loss(params, bt, k),
                 in_axes=(0, 0))(batch, keys)
             return jnp.mean(totals), (
-                jax.tree_util.tree_map(jnp.mean, losses), jnp.max(tns))
+                jax.tree_util.tree_map(jnp.mean, losses), jnp.max(tns),
+                dets)
 
         @jax.jit
         def train_step(state: TrainState, batch, rng):
             def sharded(params, batch):
-                (total, (losses, tn)), grads = jax.value_and_grad(
+                (total, (losses, tn, dets)), grads = jax.value_and_grad(
                     local_loss, has_aux=True)(params, batch, rng)
                 # DP gradient all-reduce over ICI — the NCCL/DDP
                 # analogue (SURVEY.md section 2.7)
@@ -243,12 +249,19 @@ class Trainer:
                 total = jax.lax.pmean(total, "dp")
                 losses = jax.lax.pmean(losses, "dp")
                 tn = jax.lax.pmax(tn, "dp")
-                return total, losses, tn, grads
+                # eval-in-train detections: all-gather the per-shard
+                # buildings so the host sees the whole batch — the
+                # reference gathers train-eval across GPUs
+                # (trainer_sparse3d.py:95-104 + utils/comm.py)
+                dets = jax.tree.map(
+                    lambda a: jax.lax.all_gather(a, "dp").reshape(
+                        (-1,) + a.shape[1:]), dets)
+                return total, losses, tn, grads, dets
 
             specs = jax.tree_util.tree_map(lambda _: P("dp"), batch)
-            total, losses, true_num, grads = shard_map(
+            total, losses, true_num, grads, dets = shard_map(
                 sharded, mesh=mesh, in_specs=(P(), specs),
-                out_specs=(P(), P(), P(), P()), check_vma=False)(
+                out_specs=(P(), P(), P(), P(), P()), check_vma=False)(
                     state.params, batch)
 
             grads_ok = jax.tree_util.tree_reduce(
@@ -265,10 +278,7 @@ class Trainer:
                                              state.opt_state)
             new_state = TrainState(params=new_params, opt_state=new_opt,
                                    step=state.step + 1)
-            # eval-in-train not supported on the DP path (per-device
-            # detections would need an all-gather; run eval via
-            # run_inference instead)
-            return new_state, total, losses, ok, true_num, ()
+            return new_state, total, losses, ok, true_num, dets
 
         return train_step
 
@@ -308,7 +318,7 @@ class Trainer:
             # eval-in-train accumulation (trainer_sparse3d.py:95-104,
             # 165-172): collect train-time predictions this epoch and
             # evaluate at epoch end
-            eval_this_epoch = (cfg.eval_in_train > 0 and self.mesh is None
+            eval_this_epoch = (cfg.eval_in_train > 0
                                and epoch % cfg.eval_in_train == 0)
             epoch_preds, epoch_gts = [], []
             # per-epoch shuffle (reference: DataLoader shuffle=True on
@@ -336,13 +346,18 @@ class Trainer:
                     state, batch, key)
                 total = float(total)
                 if dets and eval_this_epoch:
-                    v = np.asarray(dets[1])
-                    epoch_preds.append({
-                        "boxes": np.asarray(dets[0])[v],
-                        "scores": np.asarray(dets[2])[v],
-                        "labels": np.asarray(dets[3])[v]})
-                    epoch_gts.append({"boxes": group[0]["gt_boxes"],
-                                      "labels": group[0]["gt_labels"]})
+                    db, dv, dsc, dl = (np.asarray(x) for x in dets)
+                    if db.ndim == 2:   # single-device step: one building
+                        db, dv, dsc, dl = (x[None] for x in (db, dv, dsc,
+                                                             dl))
+                    for bi in range(min(db.shape[0], len(group))):
+                        v = dv[bi]
+                        epoch_preds.append({"boxes": db[bi][v],
+                                            "scores": dsc[bi][v],
+                                            "labels": dl[bi][v]})
+                        epoch_gts.append(
+                            {"boxes": group[bi]["gt_boxes"],
+                             "labels": group[bi]["gt_labels"]})
                 cap0 = cfg.caps.scale_caps(cfg.sparse3d.num_scales)[0]
                 if int(true_num) > cap0 and self.logger:
                     self.logger.warning(

@@ -320,22 +320,79 @@ def _gather_global_map(t: SparseTensor, own_mask, axis: str,
         reduce="sum")
 
 
+def _gather_global_maps(cfg: Config, spyr, rpn_maps, roi_maps, axis: str):
+    """All-gather per-shard owned map rows into replicated global maps."""
+    n_scales = cfg.sparse3d.num_scales
+    global_caps = cfg.caps.scale_caps(n_scales)
+
+    def scale_of(i_from_top):
+        return n_scales - 1 - i_from_top
+
+    n3d = len(cfg.rpn.rpn_scales_from_top)
+    global_rpn = []
+    for slot, m in enumerate(rpn_maps):
+        sel = cfg.rpn.rpn_3d_2d_selector[slot]
+        if sel < n3d:   # 3d map: owned rows of that scale
+            sc = scale_of(cfg.rpn.rpn_scales_from_top[sel])
+            own = spyr["own_valid"][sc]
+            cap = global_caps[sc]
+        else:           # bev map (own-only table)
+            own = m.row_valid
+            sc = scale_of(cfg.rpn.rpn_scales_from_top[sel - n3d])
+            cap = global_caps[sc]
+        global_rpn.append(_gather_global_map(m, own, axis, cap))
+    global_roi = []
+    for i, i_from_top in enumerate(cfg.roi.pooler_scales_from_top):
+        sc = scale_of(i_from_top)
+        global_roi.append(_gather_global_map(
+            roi_maps[i], spyr["own_valid"][sc], axis, global_caps[sc]))
+    return global_rpn, global_roi
+
+
+def _heads_eval(cfg: Config, params, global_rpn, global_roi):
+    """Replicated RPN + ROI eval heads on gathered global maps — the
+    eval branch of SparseRCNN (models/detector.py:133-153), including
+    separate-classifier groups."""
+    from detection_3d_tpu.models.rpn import RPN
+    from detection_3d_tpu.models.roi_head import ROIBoxHead, postprocess
+    from detection_3d_tpu.models.separate_classifier import (
+        grouped_class_ids, merge_group_detections, slice_group_logits,
+    )
+
+    proposals_g, _ = RPN(cfg).apply(
+        {"params": params["params"]["rpn"]}, global_rpn, None,
+        is_train=False, rng=None)
+    proposals_g = [p.clamp_size() for p in proposals_g]
+    g = len(proposals_g)
+    nc_total = cfg.num_classes + len(cfg.separate_classes)
+    results = []
+    for gi, proposals in enumerate(proposals_g):
+        cls_logits, box_reg = ROIBoxHead(cfg).apply(
+            {"params": params["params"]["roi_head"]}, global_roi,
+            proposals)
+        if g > 1:
+            cls_logits, box_reg = slice_group_logits(cfg, cls_logits,
+                                                     box_reg, gi)
+            nc_g = len(grouped_class_ids(cfg)[gi])
+        else:
+            nc_g = nc_total
+        results.append(postprocess(cfg, proposals, cls_logits, box_reg,
+                                   nc_g, cfg.roi_detections_per_img))
+    if g == 1:
+        return results[0]
+    return merge_group_detections(cfg, results)
+
+
 def spatial_predict(cfg: Config, mesh: Mesh, params, batch,
                     shard_caps, halo_caps, axis: str = "sp"):
     """Full spatially-sharded inference: the conv trunk runs sharded with
     halo exchange; owned map rows are then all-gathered so the (small)
     RPN/ROI heads run replicated — the same detections materialize on
-    every shard. Single-group configs (no separate_classes).
+    every shard. Handles separate-classifier groups (3G6c) too.
 
     Returns the detections of shard 0 as (boxes, valid, scores, labels).
     """
-    from detection_3d_tpu.models.rpn import RPN
-    from detection_3d_tpu.models.roi_head import ROIBoxHead, postprocess
-
-    assert not cfg.separate_classes, "spatial_predict: single group only"
     n_shards = mesh.devices.size
-    n_scales = cfg.sparse3d.num_scales
-    global_caps = cfg.caps.scale_caps(n_scales)
     fpn = SparseFPN(cfg, sp_axis=axis)
 
     def run(params, points, feats, points_valid):
@@ -347,42 +404,9 @@ def spatial_predict(cfg: Config, mesh: Mesh, params, batch,
             table0.feats.astype(jnp.dtype(cfg.compute_dtype)))
         rpn_maps, roi_maps = fpn.apply(
             {"params": params["params"]["backbone"]}, table0, spyr)
-
-        # reassemble global maps from owned rows (3d maps use the scale's
-        # own mask; bev tables are built own-only already)
-        def scale_of(i_from_top):
-            return n_scales - 1 - i_from_top
-
-        n3d = len(cfg.rpn.rpn_scales_from_top)
-        global_rpn = []
-        for slot, m in enumerate(rpn_maps):
-            sel = cfg.rpn.rpn_3d_2d_selector[slot]
-            if sel < n3d:   # 3d map
-                sc = scale_of(cfg.rpn.rpn_scales_from_top[sel])
-                own = spyr["own_valid"][sc]
-                cap = global_caps[sc]
-            else:           # bev map (own-only table)
-                own = m.row_valid
-                sc = scale_of(
-                    cfg.rpn.rpn_scales_from_top[sel - n3d])
-                cap = global_caps[sc]
-            global_rpn.append(_gather_global_map(m, own, axis, cap))
-        global_roi = []
-        for i, i_from_top in enumerate(cfg.roi.pooler_scales_from_top):
-            sc = scale_of(i_from_top)
-            global_roi.append(_gather_global_map(
-                roi_maps[i], spyr["own_valid"][sc], axis,
-                global_caps[sc]))
-
-        proposals_g, _ = RPN(cfg).apply(
-            {"params": params["params"]["rpn"]}, global_rpn, None,
-            is_train=False, rng=None)
-        proposals = proposals_g[0].clamp_size()
-        cls_logits, box_reg = ROIBoxHead(cfg).apply(
-            {"params": params["params"]["roi_head"]}, global_roi,
-            proposals)
-        det = postprocess(cfg, proposals, cls_logits, box_reg,
-                          cfg.num_classes, cfg.roi_detections_per_img)
+        global_rpn, global_roi = _gather_global_maps(cfg, spyr, rpn_maps,
+                                                     roi_maps, axis)
+        det = _heads_eval(cfg, params, global_rpn, global_roi)
         out = (det.boxes, det.valid, det.fields["scores"],
                det.fields["labels"], spyr["halo_overflow"])
         return jax.tree.map(lambda a: jnp.asarray(a)[None], out)
@@ -395,3 +419,144 @@ def spatial_predict(cfg: Config, mesh: Mesh, params, batch,
         params, batch["points"], batch["feats"], batch["points_valid"])
     _warn_halo_overflow(ovf, "spatial_predict")
     return boxes[0], valid[0], scores[0], labels[0]
+
+
+def _heads_train_loss(cfg: Config, params, global_rpn, global_roi, gt,
+                      gt_labels, rng):
+    """Replicated train heads on gathered global maps — the train branch
+    of SparseRCNN (models/detector.py:103-120): RPN losses + per-group
+    ROI sampling/losses. Returns a loss dict."""
+    from detection_3d_tpu.models.roi_head import (
+        ROIBoxHead, roi_loss, subsample_proposals,
+    )
+    from detection_3d_tpu.models.rpn import RPN
+    from detection_3d_tpu.models.separate_classifier import (
+        separate_targets, slice_group_logits,
+    )
+    from detection_3d_tpu.models.structures import Boxes3D
+
+    if cfg.separate_classes:
+        gt_groups = separate_targets(cfg, gt, gt_labels)
+    else:
+        gt_groups = [(gt, gt_labels)]
+    proposals_g, losses = RPN(cfg).apply(
+        {"params": params["params"]["rpn"]}, global_rpn,
+        [g for g, _ in gt_groups], is_train=True, rng=rng)
+    proposals_g = [p.clamp_size() for p in proposals_g]
+    losses = dict(losses)
+    g = len(proposals_g)
+    for gi, proposals in enumerate(proposals_g):
+        gt_gi, labels_gi = gt_groups[gi]
+        key = jax.random.fold_in(rng, 1000 + gi)
+        sampled = subsample_proposals(cfg, key, proposals, gt_gi,
+                                      labels_gi)
+        cls_logits, box_reg = ROIBoxHead(cfg).apply(
+            {"params": params["params"]["roi_head"]}, global_roi, sampled)
+        if g > 1:
+            cls_logits, box_reg = slice_group_logits(cfg, cls_logits,
+                                                     box_reg, gi)
+        cl, bl = roi_loss(cfg, sampled, cls_logits, box_reg)
+        suf = "" if g == 1 else f"_{gi}"
+        losses[f"loss_classifier_roi{suf}"] = cl
+        losses[f"loss_box_reg_roi{suf}"] = bl
+    return losses
+
+
+def make_spatial_grad_fn(cfg: Config, mesh: Mesh, shard_caps, halo_caps,
+                         axis: str = "sp"):
+    """Loss + exact global gradient of the spatially-sharded model.
+
+    The conv trunk (the memory-heavy part) runs sharded with halo
+    exchange and per-scale BN psum; owned map rows are all-gathered and
+    the small RPN/ROI heads + losses run REPLICATED on every shard with
+    the same rng. Gradient correctness through the collectives: each
+    shard differentiates its own (identical) loss copy scaled by
+    1/n_shards; shard_map's varying-axis autodiff (check_vma) makes the
+    cotangent of every REPLICATED input a psum over the mesh axis
+    automatically (transpose of the implicit pbroadcast), so the
+    per-shard gradient is already the exact global gradient — summing
+    n_shards identical head copies at 1/n_shards each, and routing
+    trunk cotangents through the all_gather/ppermute transposes
+    (reduce-scatter / reverse-permute). No explicit psum is added — one
+    would double-count (verified against single-device grads in
+    tests/test_spatial.py).
+
+    Returns grad_fn(params, batch, rng) -> (total, losses, grads,
+    halo_overflow) with shard-0 values (identical on every shard).
+    """
+    from detection_3d_tpu.models.structures import Boxes3D
+
+    n_shards = mesh.devices.size
+    fpn = SparseFPN(cfg, sp_axis=axis)
+
+    def local_loss(params, points, feats, points_valid, gt_boxes,
+                   gt_valid, gt_labels, rng):
+        spyr = build_spatial_pyramid(cfg, points, feats, points_valid,
+                                     axis, n_shards, shard_caps,
+                                     halo_caps)
+        table0 = spyr["tables"][0]
+        table0 = table0.with_feats(
+            table0.feats.astype(jnp.dtype(cfg.compute_dtype)))
+        rpn_maps, roi_maps = fpn.apply(
+            {"params": params["params"]["backbone"]}, table0, spyr)
+        global_rpn, global_roi = _gather_global_maps(cfg, spyr, rpn_maps,
+                                                     roi_maps, axis)
+        gt = Boxes3D(gt_boxes, gt_valid)
+        losses = _heads_train_loss(cfg, params, global_rpn, global_roi,
+                                   gt, gt_labels, rng)
+        total = sum(jax.tree_util.tree_leaves(losses))
+        return total / n_shards, (losses, spyr["halo_overflow"])
+
+    def sharded_grad(params, batch, rng):
+        (scaled, (losses, ovf)), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(
+                params, batch["points"], batch["feats"],
+                batch["points_valid"], batch["gt_boxes"],
+                batch["gt_valid"], batch["gt_labels"], rng)
+        total = scaled * n_shards          # identical on every shard
+        return jax.tree.map(lambda a: jnp.asarray(a)[None],
+                            (total, losses, grads, ovf))
+
+    spec = P()
+    fn = shard_map(sharded_grad, mesh=mesh,
+                   in_specs=(spec, spec, spec), out_specs=P(axis))
+
+    def grad_fn(params, batch, rng):
+        total, losses, grads, ovf = fn(params, batch, rng)
+        return (total[0], jax.tree.map(lambda a: a[0], losses),
+                jax.tree.map(lambda a: a[0], grads), ovf[0])
+
+    return grad_fn
+
+
+def make_spatial_train_step(cfg: Config, mesh: Mesh, tx, shard_caps,
+                            halo_caps, axis: str = "sp"):
+    """Spatially-sharded training step (see make_spatial_grad_fn for the
+    sharding/gradient design). NaN-gated full-state transition like the
+    single-device step (engine/trainer.py).
+
+    Returns step(state, batch, rng) -> (state, total, losses, ok,
+    halo_overflow) for a batch of ONE building (points replicated).
+    """
+    import optax
+
+    grad_fn = make_spatial_grad_fn(cfg, mesh, shard_caps, halo_caps, axis)
+
+    @jax.jit
+    def step(state, batch, rng):
+        total, losses, grads, ovf = grad_fn(state.params, batch, rng)
+        grads_ok = jax.tree_util.tree_reduce(
+            lambda a, g: a & jnp.all(jnp.isfinite(g)), grads,
+            jnp.bool_(True))
+        ok = jnp.isfinite(total) & grads_ok
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        keep = lambda n, o: jnp.where(ok, n, o)   # noqa: E731
+        new_params = jax.tree_util.tree_map(keep, new_params,
+                                            state.params)
+        new_opt = jax.tree_util.tree_map(keep, new_opt, state.opt_state)
+        new_state = state.replace(params=new_params, opt_state=new_opt,
+                                  step=state.step + 1)
+        return new_state, total, losses, ok, ovf
+
+    return step
