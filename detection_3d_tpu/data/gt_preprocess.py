@@ -16,9 +16,10 @@ data-generation stage, not the TPU compute path):
   * window/door correction: snap to the host wall's yaw, thickness 0.175,
     diagonal-derived length (window_preprocessing.py:10-33,
     correct_bad_windows);
-  * ceiling/floor slabs spanning the wall envelope
-    (celing_floor_room_preprocessing.py — simplified to the bounding
-    envelope; the reference builds room polygons).
+  * per-room ceiling/floor slabs recovered from the wall centerlines
+    (rooms_from_walls: cell-grid partition + outside flood-fill +
+    rectangle decomposition; validated by the preprocess_cfr twin of
+    celing_floor_room_preprocessing.py:8-97).
 
 All boxes are STANDARD format [xc, yc, zc, x_size, y_size, z_size, yaw]
 with x_size >= y_size and yaw in [0, pi).
@@ -436,21 +437,188 @@ preprocess_windows = preprocess_openings
 preprocess_doors = preprocess_openings
 
 
+def _cluster_cuts(vals, tol):
+    """Sorted cluster means of 1D positions (gap > tol splits)."""
+    if vals.size == 0:
+        return np.zeros((0,))
+    vals = np.sort(vals)
+    cuts, group = [], [vals[0]]
+    for v in vals[1:]:
+        if v - group[-1] > tol:
+            cuts.append(np.mean(group))
+            group = [v]
+        else:
+            group.append(v)
+    cuts.append(np.mean(group))
+    return np.asarray(cuts)
+
+
+def rooms_from_walls(walls, tol: float = 0.3, block_frac: float = 0.5):
+    """Per-room xy rectangles from wall centerlines — the GENERATIVE
+    counterpart of :func:`preprocess_cfr` for houses whose room nodes
+    carry no ceiling/floor candidates. The reference always has one
+    SUNCG slab per room to validate (celing_floor_room_preprocessing.py:
+    8-97); when none exist we reconstruct the rooms:
+
+      1. rotate wall centerlines by the dominant wall yaw (circular
+         mean with period pi/2) so the plan is axis-aligned;
+      2. cluster wall positions into x/y grid cuts -> a cell grid;
+      3. a cell edge is blocked when a wall centerline covers more than
+         ``block_frac`` of it; flood-fill marks every cell that can
+         reach the grid boundary through unblocked edges as OUTSIDE
+         (this carves L/T-shaped plans out of their bounding envelope);
+      4. rooms = connected components of the interior cells; each room
+         is greedily decomposed into maximal rectangles (one per
+         rectangular room).
+
+    Returns (R, 7) standard boxes with z-center/size_z = 0 and the
+    dominant yaw; (0, 7) when no enclosed room is found.
+    """
+    empty = np.zeros((0, 7))
+    if walls.shape[0] < 4:
+        return empty
+    cl = np.stack([centroid_line(w, "X") for w in np.asarray(
+        walls, np.float64)])                     # (W, 2, 3)
+    yaws = np.asarray(walls, np.float64)[:, 6]
+    theta = np.arctan2(np.sin(4 * yaws).mean(),
+                       np.cos(4 * yaws).mean()) / 4
+    c, s = np.cos(theta), np.sin(theta)
+    # yaw rotates geometry CLOCKWISE in this codebase (a yaw-theta wall
+    # runs along (cos theta, -sin theta), see centroid_line); the work
+    # frame rotates the plan back to axis-aligned
+    R = np.array([[c, -s], [s, c]])
+    p0 = cl[:, 0, :2] @ R.T
+    p1 = cl[:, 1, :2] @ R.T
+    d = p1 - p0
+    vert = np.abs(d[:, 0]) < tol       # constant-x walls
+    horz = np.abs(d[:, 1]) < tol
+    xcuts = _cluster_cuts((p0[vert, 0] + p1[vert, 0]) / 2, tol)
+    ycuts = _cluster_cuts((p0[horz & ~vert, 1]
+                           + p1[horz & ~vert, 1]) / 2, tol)
+    nx, ny = len(xcuts) - 1, len(ycuts) - 1
+    if nx < 1 or ny < 1:
+        return empty
+
+    # blocked[axis] edges: vx[i, j] between cells (i-1, j)|(i, j);
+    # vy[i, j] between cells (i, j-1)|(i, j)
+    vx = np.zeros((nx + 1, ny), bool)
+    vy = np.zeros((nx, ny + 1), bool)
+    for w in np.where(vert)[0]:
+        wx = (p0[w, 0] + p1[w, 0]) / 2
+        i = int(np.argmin(np.abs(xcuts - wx)))
+        if abs(xcuts[i] - wx) > tol:
+            continue
+        lo, hi = sorted((p0[w, 1], p1[w, 1]))
+        for j in range(ny):
+            ov = min(hi, ycuts[j + 1]) - max(lo, ycuts[j])
+            if ov > block_frac * (ycuts[j + 1] - ycuts[j]):
+                vx[i, j] = True
+    for w in np.where(horz & ~vert)[0]:
+        wy = (p0[w, 1] + p1[w, 1]) / 2
+        j = int(np.argmin(np.abs(ycuts - wy)))
+        if abs(ycuts[j] - wy) > tol:
+            continue
+        lo, hi = sorted((p0[w, 0], p1[w, 0]))
+        for i in range(nx):
+            ov = min(hi, xcuts[i + 1]) - max(lo, xcuts[i])
+            if ov > block_frac * (xcuts[i + 1] - xcuts[i]):
+                vy[i, j] = True
+
+    # flood-fill the outside through unblocked edges
+    outside = np.zeros((nx, ny), bool)
+    stack = []
+    for j in range(ny):
+        if not vx[0, j]:
+            stack.append((0, j))
+        if not vx[nx, j]:
+            stack.append((nx - 1, j))
+    for i in range(nx):
+        if not vy[i, 0]:
+            stack.append((i, 0))
+        if not vy[i, ny]:
+            stack.append((i, ny - 1))
+    while stack:
+        i, j = stack.pop()
+        if outside[i, j]:
+            continue
+        outside[i, j] = True
+        if i > 0 and not vx[i, j] and not outside[i - 1, j]:
+            stack.append((i - 1, j))
+        if i < nx - 1 and not vx[i + 1, j] and not outside[i + 1, j]:
+            stack.append((i + 1, j))
+        if j > 0 and not vy[i, j] and not outside[i, j - 1]:
+            stack.append((i, j - 1))
+        if j < ny - 1 and not vy[i, j + 1] and not outside[i, j + 1]:
+            stack.append((i, j + 1))
+
+    # rooms: components of interior cells over unblocked edges
+    room_id = np.full((nx, ny), -1, np.int64)
+    n_rooms = 0
+    for i0 in range(nx):
+        for j0 in range(ny):
+            if outside[i0, j0] or room_id[i0, j0] >= 0:
+                continue
+            stack = [(i0, j0)]
+            while stack:
+                i, j = stack.pop()
+                if room_id[i, j] >= 0 or outside[i, j]:
+                    continue
+                room_id[i, j] = n_rooms
+                if i > 0 and not vx[i, j]:
+                    stack.append((i - 1, j))
+                if i < nx - 1 and not vx[i + 1, j]:
+                    stack.append((i + 1, j))
+                if j > 0 and not vy[i, j]:
+                    stack.append((i, j - 1))
+                if j < ny - 1 and not vy[i, j + 1]:
+                    stack.append((i, j + 1))
+            n_rooms += 1
+
+    # greedy maximal-rectangle decomposition per room
+    Rinv = np.array([[c, s], [-s, c]])
+    rects = []
+    for r in range(n_rooms):
+        todo = room_id == r
+        while todo.any():
+            i0, j0 = np.argwhere(todo)[0]
+            i1 = i0
+            while i1 + 1 < nx and todo[i1 + 1, j0]:
+                i1 += 1
+            j1 = j0
+            while j1 + 1 < ny and todo[i0:i1 + 1, j1 + 1].all():
+                j1 += 1
+            todo[i0:i1 + 1, j0:j1 + 1] = False
+            x0, x1 = xcuts[i0], xcuts[i1 + 1]
+            y0, y1 = ycuts[j0], ycuts[j1 + 1]
+            cen = np.array([(x0 + x1) / 2, (y0 + y1) / 2]) @ Rinv.T
+            rects.append([cen[0], cen[1], 0.0, x1 - x0, y1 - y0, 0.0,
+                          limit_period_np(theta, 0.0, np.pi)])
+    return np.asarray(rects) if rects else empty
+
+
 def make_ceiling_floor(walls, thickness: float = 0.12):
-    """Axis-aligned ceiling + floor slabs spanning the wall envelope
-    (simplified celing_floor_room_preprocessing.preprocess_cfr, which
-    builds per-room polygons from wall centerlines)."""
+    """Per-room ceiling + floor slabs from the wall centerlines
+    (:func:`rooms_from_walls`); one slab pair per rectangular room piece
+    — the refined-GT shape preprocess_cfr validates
+    (celing_floor_room_preprocessing.py:8-97). Falls back to one
+    envelope pair when no enclosed room is recovered."""
     if walls.shape[0] == 0:
         return np.zeros((0, 7)), np.zeros((0, 7))
     from detection_3d_tpu.ops.geometry import box3d_corners
     import jax.numpy as jnp
     corners = np.asarray(box3d_corners(jnp.asarray(walls))).reshape(-1, 3)
     mn, mx = corners.min(0), corners.max(0)
-    cx, cy = (mn[0] + mx[0]) / 2, (mn[1] + mx[1]) / 2
-    sx, sy = mx[0] - mn[0], mx[1] - mn[1]
-    floor = np.array([[cx, cy, mn[2] + thickness / 2, sx, sy, thickness, 0]])
-    ceiling = np.array([[cx, cy, mx[2] - thickness / 2, sx, sy, thickness,
-                         0]])
+    rooms = rooms_from_walls(np.asarray(walls, np.float64))
+    if rooms.shape[0] == 0:
+        cx, cy = (mn[0] + mx[0]) / 2, (mn[1] + mx[1]) / 2
+        rooms = np.array([[cx, cy, 0.0, mx[0] - mn[0], mx[1] - mn[1],
+                           0.0, 0.0]])
+    floor = rooms.copy()
+    floor[:, 2] = mn[2] + thickness / 2
+    floor[:, 5] = thickness
+    ceiling = rooms.copy()
+    ceiling[:, 2] = mx[2] - thickness / 2
+    ceiling[:, 5] = thickness
     return define_walls_direction(ceiling), define_walls_direction(floor)
 
 

@@ -255,8 +255,15 @@ def refine_house_boxes(bboxes: Dict[str, np.ndarray],
     out["door"] = preprocess_doors(get("door"), out["wall"])
     out["ceiling_raw"] = get("ceiling")
     out["floor_raw"] = get("floor")
-    out["ceiling"] = preprocess_cfr(get("ceiling"), out["wall"])
-    out["floor"] = preprocess_cfr(get("floor"), out["wall"])
+    ceiling, floor = get("ceiling"), get("floor")
+    if ceiling.shape[0] == 0 and floor.shape[0] == 0:
+        # house carries no per-room slab nodes: reconstruct rooms from
+        # the refined walls (gt_preprocess.rooms_from_walls) instead of
+        # the old single-envelope fallback
+        from detection_3d_tpu.data.gt_preprocess import make_ceiling_floor
+        ceiling, floor = make_ceiling_floor(out["wall"])
+    out["ceiling"] = preprocess_cfr(ceiling, out["wall"])
+    out["floor"] = preprocess_cfr(floor, out["wall"])
     return out
 
 

@@ -109,3 +109,87 @@ def test_make_ceiling_floor():
     assert ceiling.shape == (1, 7) and floor.shape == (1, 7)
     assert floor[0, 2] < ceiling[0, 2]
     assert ceiling[0, 3] >= 4.0
+
+
+def _rect_walls(x0, y0, x1, y1, h=2.7):
+    """Four walls around the rectangle [x0,x1]x[y0,y1] (centerlines ON
+    the rectangle edges)."""
+    return [wall((x0 + x1) / 2, y0, x1 - x0, h=h),
+            wall((x0 + x1) / 2, y1, x1 - x0, h=h),
+            wall(x0, (y0 + y1) / 2, y1 - y0, yaw=np.pi / 2, h=h),
+            wall(x1, (y0 + y1) / 2, y1 - y0, yaw=np.pi / 2, h=h)]
+
+
+def test_rooms_from_walls_two_rooms():
+    """Two rooms sharing a dividing wall -> one slab pair PER ROOM, not
+    the envelope (VERDICT r2 item 6 / celing_floor_room_preprocessing
+    per-room semantics)."""
+    from detection_3d_tpu.data.gt_preprocess import rooms_from_walls
+    walls = np.stack(_rect_walls(0, 0, 4, 3) + _rect_walls(4, 0, 9, 3))
+    rooms = rooms_from_walls(walls)
+    assert rooms.shape == (2, 7)
+    rooms = rooms[np.argsort(rooms[:, 0])]
+    np.testing.assert_allclose(rooms[0, :2], [2.0, 1.5], atol=0.05)
+    np.testing.assert_allclose(sorted(rooms[0, 3:5]), [3.0, 4.0],
+                               atol=0.05)
+    np.testing.assert_allclose(rooms[1, :2], [6.5, 1.5], atol=0.05)
+    np.testing.assert_allclose(sorted(rooms[1, 3:5]), [3.0, 5.0],
+                               atol=0.05)
+
+
+def test_rooms_from_walls_l_shape():
+    """An L-shaped single room (3 cells of a 2x2 grid): the outside
+    flood-fill must carve the missing corner out of the envelope and the
+    decomposition must cover exactly the L (two rectangles)."""
+    from detection_3d_tpu.data.gt_preprocess import rooms_from_walls
+    # L outline: (0,0)-(8,0)-(8,4)-(4,4)-(4,8)-(0,8)-(0,0)
+    walls = np.stack([
+        wall(4, 0, 8.0),                       # bottom
+        wall(8, 2, 4.0, yaw=np.pi / 2),        # right lower
+        wall(6, 4, 4.0),                       # inner horizontal
+        wall(4, 6, 4.0, yaw=np.pi / 2),        # inner vertical
+        wall(2, 8, 4.0),                       # top
+        wall(0, 4, 8.0, yaw=np.pi / 2),        # left
+    ])
+    rooms = rooms_from_walls(walls)
+    assert rooms.shape[0] == 2
+    area = (rooms[:, 3] * rooms[:, 4]).sum()
+    np.testing.assert_allclose(area, 48.0, atol=1.0)   # 64 - 16 corner
+    # no rectangle may cover the missing (x>4, y>4) corner
+    for r in rooms:
+        assert not (r[0] + r[3] / 2 > 4.5 and r[1] + r[4] / 2 > 4.5) or \
+            not (r[0] - r[3] / 2 < 4.5 and r[1] - r[4] / 2 < 4.5)
+
+
+def test_rooms_from_walls_rotated():
+    """Room recovery is yaw-equivariant (dominant-yaw rotation)."""
+    from detection_3d_tpu.data.gt_preprocess import rooms_from_walls
+    from detection_3d_tpu.data.gt_preprocess import limit_period_np
+    g = 0.3
+    c, s = np.cos(g), np.sin(g)
+
+    def rw(w):
+        # +g yaw rotates geometry clockwise in this codebase
+        x, y = w[0], w[1]
+        w = w.copy()
+        w[0], w[1] = c * x + s * y, -s * x + c * y
+        w[6] = (w[6] + g) % np.pi
+        return w
+
+    walls = np.stack([rw(w) for w in _rect_walls(0, 0, 5, 4)])
+    rooms = rooms_from_walls(walls)
+    assert rooms.shape == (1, 7)
+    np.testing.assert_allclose(sorted(rooms[0, 3:5]), [4.0, 5.0],
+                               atol=0.05)
+    assert abs(limit_period_np(rooms[0, 6] - g, 0.5, np.pi)) < 0.02
+
+
+def test_make_ceiling_floor_passes_cfr():
+    """Generated per-room slabs must survive the preprocess_cfr
+    validation gate (>= 3 edge walls each)."""
+    from detection_3d_tpu.data.gt_preprocess import preprocess_cfr
+    walls = np.stack(_rect_walls(0, 0, 4, 3) + _rect_walls(4, 0, 9, 3))
+    ceiling, floor = make_ceiling_floor(walls)
+    assert ceiling.shape[0] == 2 and floor.shape[0] == 2
+    kept = preprocess_cfr(ceiling, walls)
+    assert kept.shape[0] == 2
