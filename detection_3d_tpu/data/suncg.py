@@ -48,6 +48,21 @@ def _set_yaw_zero(boxes_yx_zb):
     return b
 
 
+def rm_bad_samples(scene_names: List[str],
+                   bad_scenes_path: Optional[str] = None) -> List[str]:
+    """Filter known-bad scenes from a scene list — the runtime twin of
+    the reference's curated blocklist (rm_bad_samples + SceneSamples.
+    bad_scenes, suncg_dataset.py:272-277 / scene_samples.py). Instead of
+    hardcoded ids, the blocklist is a JSON list file: curated by hand
+    and/or appended by the Trainer's strike-based bad-scene culling."""
+    bad: set = set()
+    if bad_scenes_path and os.path.exists(bad_scenes_path):
+        import json
+        with open(bad_scenes_path) as f:
+            bad = set(json.load(f))
+    return [s for s in scene_names if s not in bad]
+
+
 class SUNCGDataset:
     def __init__(self, split: str, cfg: Config,
                  data_root: Optional[str] = None):
@@ -64,6 +79,8 @@ class SUNCGDataset:
             if not scenes and os.path.exists(split_file):
                 with open(split_file) as f:
                     scenes = [l.strip() for l in f if l.strip()]
+            scenes = rm_bad_samples(
+                scenes, os.path.join(root, "bad_scenes.json"))
             for scene in scenes:
                 self.files += sorted(
                     glob.glob(os.path.join(root, "houses", scene, "*.pth")))

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 import time
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, Iterable, Optional
@@ -132,6 +133,22 @@ class Trainer:
         self.last_train_eval = None
         self._step_fn = None
         self._tx = None
+        # non-finite steps a scene may contribute before it is culled
+        # from the rotation (reference: curated SceneSamples.bad_scenes)
+        self.bad_scene_strikes = 3
+
+    def _persist_bad_scenes(self, names):
+        """Write the culled blocklist to <output_dir>/bad_scenes.json —
+        the file data/suncg.rm_bad_samples consumes."""
+        import json
+        path = os.path.join(self.output_dir, "bad_scenes.json")
+        try:
+            os.makedirs(self.output_dir, exist_ok=True)
+            with open(path, "w") as f:
+                json.dump(sorted(names), f)
+        except OSError:          # pragma: no cover - best-effort persist
+            if self.logger:
+                self.logger.warning("could not write %s", path)
 
     # -- jitted pieces -----------------------------------------------------
     def init_state(self, example_scene: Dict, seed: int = 0,
@@ -314,6 +331,14 @@ class Trainer:
         t_start = time.time()
         shuffle_rng = np.random.default_rng(seed + 77)
         steps_per_epoch = -(-n_scenes // bsz)
+        # strike-based bad-scene culling: the runtime analogue of the
+        # reference's curated blocklist (rm_bad_samples +
+        # SceneSamples.bad_scenes, suncg_dataset.py:272-277). A scene
+        # whose batch yields a non-finite step `bad_scene_strikes` times
+        # is dropped from the rotation and persisted.
+        strikes = np.zeros(n_scenes, np.int64)
+        culled: set = set()
+        culled_names: list = []
         for epoch in range(epochs):
             # eval-in-train accumulation (trainer_sparse3d.py:95-104,
             # 165-172): collect train-time predictions this epoch and
@@ -323,7 +348,13 @@ class Trainer:
             epoch_preds, epoch_gts = [], []
             # per-epoch shuffle (reference: DataLoader shuffle=True on
             # train, data3d/data.py:36)
-            order = list(shuffle_rng.permutation(n_scenes))
+            order = [i for i in shuffle_rng.permutation(n_scenes)
+                     if i not in culled]
+            if not order:
+                raise RuntimeError(
+                    "trainer: every scene was culled as bad "
+                    f"({len(culled)} scenes with >= "
+                    f"{self.bad_scene_strikes} non-finite steps)")
             if len(order) % bsz:  # cycle-pad the final batch
                 order += order[:bsz - len(order) % bsz]
             epoch_iter = iter(source.epoch(order)) if source else None
@@ -366,9 +397,27 @@ class Trainer:
                         cap0)
                 self.meters.update(loss=total, time=time.time() - t0,
                                    **{k: float(v) for k, v in losses.items()})
-                if not bool(ok) and self.logger:
-                    self.logger.warning("non-finite loss at iter %d; "
-                                        "update skipped", it)
+                if not bool(ok):
+                    if self.logger:
+                        self.logger.warning("non-finite loss at iter %d; "
+                                            "update skipped", it)
+                    for si in order[bstart:bstart + bsz]:
+                        strikes[si] += 1
+                        if (strikes[si] >= self.bad_scene_strikes
+                                and si not in culled):
+                            culled.add(si)
+                            name = str(si)
+                            if source is None and isinstance(
+                                    scenes[si], dict):
+                                name = str(scenes[si].get(
+                                    "scene_name", si))
+                            culled_names.append(name)
+                            self._persist_bad_scenes(culled_names)
+                            if self.logger:
+                                self.logger.warning(
+                                    "scene %s culled after %d non-finite "
+                                    "steps (%d/%d scenes culled)", name,
+                                    strikes[si], len(culled), n_scenes)
                 if self.logger and it % 20 == 0:
                     eta = (time.time() - t_start) / (it + 1) * \
                         (epochs * steps_per_epoch - it - 1)

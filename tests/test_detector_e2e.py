@@ -171,3 +171,53 @@ def test_eval_in_train_accumulation(scene, tmp_path):
     assert res is not None
     assert len(res.n_gt) == cfg.num_classes
     assert res.n_gt[1:].sum() > 0  # gts were counted
+
+
+def test_bad_scene_culling(scene, tmp_path):
+    """Strike-based bad-scene culling: a scene that repeatedly yields a
+    non-finite step is dropped from the rotation and persisted to
+    bad_scenes.json — the runtime analogue of the reference's curated
+    blocklist (rm_bad_samples + SceneSamples.bad_scenes,
+    suncg_dataset.py:272-277)."""
+    import json
+    import os
+    from detection_3d_tpu.engine.trainer import Trainer
+
+    cfg = tiny_cfg()
+    trainer = Trainer(cfg, output_dir=str(tmp_path))
+    bad = {k: v.copy() if hasattr(v, "copy") else v
+           for k, v in scene.items()}
+    bad["scene_name"] = "cursed"
+    marker = np.float32(123.0)
+    bad["points"] = bad["points"].copy()
+    bad["points"][0, 2] = marker
+
+    calls = {"bad": 0, "good": 0}
+
+    def fake_step(state, batch, rng):
+        is_bad = bool(np.asarray(batch["points"][0, 2]) == marker)
+        calls["bad" if is_bad else "good"] += is_bad or 1
+        ok = jnp.asarray(not is_bad)
+        total = jnp.asarray(np.nan if is_bad else 1.0, jnp.float32)
+        return state, total, {"loss_objectness": total}, ok, \
+            jnp.asarray(0), ()
+
+    trainer._step_fn = fake_step
+    state = trainer.init_state(scene, iters_per_epoch=2)
+    trainer.train([scene, bad], state, epochs=6)
+
+    path = os.path.join(str(tmp_path), "bad_scenes.json")
+    assert os.path.exists(path)
+    with open(path) as f:
+        assert json.load(f) == ["cursed"]
+    # the bad scene stops being visited once culled (3 strikes)
+    assert calls["bad"] == trainer.bad_scene_strikes
+
+    from detection_3d_tpu.data.suncg import rm_bad_samples
+    assert rm_bad_samples(["a", "cursed", "b"], path) == ["a", "b"]
+
+    # culling every scene raises instead of spinning on nothing
+    trainer2 = Trainer(cfg, output_dir=str(tmp_path / "t2"))
+    trainer2._step_fn = fake_step
+    with pytest.raises(RuntimeError):
+        trainer2.train([bad], state, epochs=6)
