@@ -25,7 +25,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def gen_config():
+def gen_config(epochs: int = 60, base_lr: float = 0.01):
     from detection_3d_tpu.config import (CapacityConfig, Config,
                                          Sparse3DConfig)
     from detection_3d_tpu.config.defaults import (ROIConfig, RPNConfig,
@@ -65,12 +65,17 @@ def gen_config():
             mlp_head_dim=128,
         ),
         backbone_out_channels=32,
-        solver=SolverConfig(base_lr=0.01, warmup_epochs=2,
-                            lr_step_epochs=(40, 55), epochs=1,
+        # decay late (75% / 92% of the run): the r3 first attempt decayed
+        # at 2/3 of a 60-epoch run with the loss still falling and froze
+        # at mean AP 0.05
+        solver=SolverConfig(base_lr=base_lr, warmup_epochs=2,
+                            lr_step_epochs=(int(epochs * 0.75),
+                                            int(epochs * 0.92)),
+                            epochs=1,
                             checkpoint_period_epochs=100000),
         caps=CapacityConfig(max_points=45_000,
                             voxel_caps=(65536, 32768, 16384, 8192, 4096),
-                            max_gt=96,
+                            max_gt=128,
                             dense_grid_max_entries=1 << 26),
         output_dir="/tmp/generalization_check",
     ).validate()
@@ -80,11 +85,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--train-scenes", type=int, default=50)
     ap.add_argument("--test-scenes", type=int, default=15)
-    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--epochs", type=int, default=240)
     ap.add_argument("--gate", type=float, default=0.7)
+    ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--resume", action="store_true",
                     help="skip training, evaluate the saved checkpoint")
+    ap.add_argument("--eval-train", type=int, default=10, metavar="K",
+                    help="also evaluate the first K TRAIN scenes (the "
+                    "train/held-out gap separates undertraining from "
+                    "overfitting)")
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -100,7 +110,7 @@ def main():
     from detection_3d_tpu.evaluation.detection_eval import save_results
     from detection_3d_tpu.utils.logger import setup_logger
 
-    cfg = gen_config()
+    cfg = gen_config(epochs=args.epochs, base_lr=args.lr)
     logger = setup_logger("generalization")
 
     # disjoint seed ranges: train [0, N), held-out [10000, 10000 + M)
@@ -129,6 +139,13 @@ def main():
                                   step=ck["step"])
     else:
         state = trainer.train(train_scenes, state, epochs=args.epochs)
+
+    if args.eval_train > 0:
+        k = min(args.eval_train, len(train_scenes))
+        logger.info("evaluating %d TRAIN scenes (gap diagnostic)", k)
+        _, tr_result, _ = run_inference(cfg, state.params,
+                                        train_scenes[:k], logger=logger)
+        print("\nTRAIN-SPLIT " + tr_result.summary())
 
     logger.info("evaluating %d HELD-OUT scenes", len(test_scenes))
     _, result, spb = run_inference(cfg, state.params, test_scenes,
