@@ -216,9 +216,11 @@ def neighbor_match_3x3x3(table, interpret: bool = False,
     # Match only HALF the offset neighborhood: neighbor(i, o) = j  <=>
     # neighbor(j, -o) = i, so the 4 xy-groups with (dx > 0) or
     # (dx == 0, dy > 0) come from a SCATTER INVERSION of their mirror
-    # group instead of their own window sweep — 5 sweeps instead of 9
-    # (the dz=+1 lanes of mirrored groups invert the mirror's dz=-1).
-    matched_xy = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0))
+    # group instead of their own window sweep — and the CENTER xy-group
+    # needs no sweep at all: (0,0,0) is the identity and the (0,0,-1)
+    # neighbor's key is lo-1 at the SAME hi, i.e. exactly the preceding
+    # row of the sorted table when present. 4 sweeps instead of 9.
+    matched_xy = ((-1, -1), (-1, 0), (-1, 1), (0, -1))
     d_hi = tuple(dx for dx, dy in matched_xy)
     d_lo = tuple(dy * Z for dx, dy in matched_xy)
     block = block or BLOCK
@@ -236,9 +238,23 @@ def neighbor_match_3x3x3(table, interpret: bool = False,
     rv = table.row_valid
     rows = jnp.arange(v, dtype=jnp.int32)
     out = {}
-    for g, (dx, dy) in enumerate(matched_xy):
+    # center group by sorted-row adjacency (no sweep): prev row holds
+    # (hi, lo-1) iff keys are consecutive within the same z-column
+    prev_adj = jnp.concatenate([
+        jnp.zeros((1,), bool),
+        (hi[1:] == hi[:-1]) & (lo[1:] == lo[:-1] + 1)])
+    center_pos = {
+        0: jnp.where(prev_adj, rows - 1, v),            # dz = -1
+        1: rows,                                        # dz = 0 (self)
+    }
+    for g, (dx, dy) in enumerate(matched_xy + ((0, 0),)):
         for t, dz in enumerate((-1, 0, 1)):
-            pos = pos32[:, 3 * g + t]
+            if (dx, dy) == (0, 0):
+                if dz == 1:
+                    continue      # produced by inversion of (0,0,-1)
+                pos = center_pos[t]
+            else:
+                pos = pos32[:, 3 * g + t]
             inb = ((x + dx >= 0) & (x + dx < X) & (y + dy >= 0)
                    & (y + dy < Y) & (z + dz >= 0) & (z + dz < Z) & rv)
             found = inb & (pos < v)
