@@ -136,6 +136,10 @@ class Trainer:
         # non-finite steps a scene may contribute before it is culled
         # from the rotation (reference: curated SceneSamples.bad_scenes)
         self.bad_scene_strikes = 3
+        # K > 1: run K train steps per device call (lax.scan) on the
+        # single-device path — amortizes the host<->device round trip
+        self.scan_steps = 1
+        self._scan_fn = None
 
     def _persist_bad_scenes(self, names):
         """Write the culled blocklist to <output_dir>/bad_scenes.json —
@@ -173,7 +177,6 @@ class Trainer:
     def _build_step(self):
         model, cfg, tx = self.model, self.cfg, self._tx
 
-        @jax.jit
         def train_step(state: TrainState, batch, rng):
             table = voxelize_points(cfg, batch["points"], batch["feats"],
                                     batch["points_valid"])
@@ -219,7 +222,27 @@ class Trainer:
                                    step=state.step + 1)
             return new_state, total, losses, ok, true_num, dets
 
-        return train_step
+        self._step_body = train_step
+        return jax.jit(train_step)
+
+    def _build_scan_step(self):
+        """K train steps per device call: `lax.scan` over pre-staged
+        batches. The per-step host<->device round trip (tunnel latency +
+        scalar fetches) dominates wall-clock at small scene sizes —
+        scanning amortizes it K-fold. Single-device path only;
+        eval-in-train epochs fall back to single steps (per-step
+        detections would multiply the transfer instead)."""
+        body = self._step_body
+
+        @jax.jit
+        def scan_steps(state: TrainState, batches, rngs):
+            def f(st, xs):
+                b, r = xs
+                st2, total, losses, ok, tn, _ = body(st, b, r)
+                return st2, (total, losses, ok, tn)
+            return jax.lax.scan(f, state, (batches, rngs))
+
+        return scan_steps
 
     def _build_batched_step(self):
         """DP train step: batch leaves (B, ...) sharded over the mesh's
@@ -358,87 +381,68 @@ class Trainer:
             if len(order) % bsz:  # cycle-pad the final batch
                 order += order[:bsz - len(order) % bsz]
             epoch_iter = iter(source.epoch(order)) if source else None
-            for bstart in range(0, len(order), bsz):
+            # multi-step scanning (self.scan_steps = K > 1): K steps per
+            # device call via lax.scan — the per-step host<->device round
+            # trip dominates wall-clock on small scenes
+            K = self.scan_steps
+            use_scan = K > 1 and self.mesh is None and not eval_this_epoch
+            if use_scan and len(order) % K:
+                order += order[:K - len(order) % K]   # cycle-pad
+            stride = K if use_scan else bsz
+            for bstart in range(0, len(order), stride):
                 if source:
-                    group = [next(epoch_iter) for _ in range(bsz)]
+                    group = [next(epoch_iter) for _ in range(stride)]
                 else:
-                    group = [scenes[i] for i in order[bstart:bstart + bsz]]
+                    group = [scenes[i]
+                             for i in order[bstart:bstart + stride]]
                 padded = [pad_scene(cfg, s) for s in group]
-                if self.mesh is None:
-                    batch = {k: jnp.asarray(v)
-                             for k, v in padded[0].items()}
-                else:
-                    batch = {k: jnp.asarray(
+                t0 = time.time()
+                if use_scan:
+                    if self._scan_fn is None:
+                        self._scan_fn = self._build_scan_step()
+                    batches = {k: jnp.asarray(
                         np.stack([p[k] for p in padded]))
                         for k in padded[0]}
-                rng, key = jax.random.split(rng)
-                t0 = time.time()
-                state, total, losses, ok, true_num, dets = self._step_fn(
-                    state, batch, key)
-                total = float(total)
-                if dets and eval_this_epoch:
-                    db, dv, dsc, dl = (np.asarray(x) for x in dets)
-                    if db.ndim == 2:   # single-device step: one building
-                        db, dv, dsc, dl = (x[None] for x in (db, dv, dsc,
-                                                             dl))
-                    for bi in range(min(db.shape[0], len(group))):
-                        v = dv[bi]
-                        epoch_preds.append({"boxes": db[bi][v],
-                                            "scores": dsc[bi][v],
-                                            "labels": dl[bi][v]})
-                        epoch_gts.append(
-                            {"boxes": group[bi]["gt_boxes"],
-                             "labels": group[bi]["gt_labels"]})
-                cap0 = cfg.caps.scale_caps(cfg.sparse3d.num_scales)[0]
-                if int(true_num) > cap0 and self.logger:
-                    self.logger.warning(
-                        "iter %d: %d voxels exceed scale-0 capacity %d — "
-                        "input subsampled (raise caps)", it, int(true_num),
-                        cap0)
-                self.meters.update(loss=total, time=time.time() - t0,
-                                   **{k: float(v) for k, v in losses.items()})
-                if not bool(ok):
-                    if self.logger:
-                        self.logger.warning("non-finite loss at iter %d; "
-                                            "update skipped", it)
-                    for si in order[bstart:bstart + bsz]:
-                        strikes[si] += 1
-                        if (strikes[si] >= self.bad_scene_strikes
-                                and si not in culled):
-                            culled.add(si)
-                            name = str(si)
-                            if source is None and isinstance(
-                                    scenes[si], dict):
-                                name = str(scenes[si].get(
-                                    "scene_name", si))
-                            culled_names.append(name)
-                            self._persist_bad_scenes(culled_names)
-                            if self.logger:
-                                self.logger.warning(
-                                    "scene %s culled after %d non-finite "
-                                    "steps (%d/%d scenes culled)", name,
-                                    strikes[si], len(culled), n_scenes)
-                if self.logger and it % 20 == 0:
-                    eta = (time.time() - t_start) / (it + 1) * \
-                        (epochs * steps_per_epoch - it - 1)
-                    self.logger.info(
-                        "iter %d epoch %d eta %.0fs lr %.5f %s", it, epoch,
-                        eta, float(self.lr_fn(int(state.step))), self.meters)
-                # min-loss checkpoint (trainer_sparse3d.py:145-150).
-                # Track the minimum every step but serialize at most once
-                # per `min_save_every` iterations — early training makes a
-                # new (noisy) minimum nearly every step, and a full
-                # msgpack write per step stalls the device loop.
-                if total < self.min_loss and np.isfinite(total):
-                    self.min_loss = total
-                    if it - self._last_min_save >= self.min_save_every:
-                        self._last_min_save = it
-                        self.checkpointer.save(
-                            "model_min_loss",
-                            {"params": state.params,
-                             "opt_state": state.opt_state,
-                             "step": state.step})
-                it += 1
+                    rng, sub = jax.random.split(rng)
+                    state, (tot_k, losses_k, ok_k, tn_k) = self._scan_fn(
+                        state, batches, jax.random.split(sub, K))
+                    # ONE device->host fetch for the whole chunk
+                    tot_k, ok_k, tn_k = (np.asarray(x)
+                                         for x in (tot_k, ok_k, tn_k))
+                    losses_k = {k: np.asarray(v)
+                                for k, v in losses_k.items()}
+                    dt = (time.time() - t0) / K
+                    results = [(float(tot_k[j]),
+                                {k: float(v[j])
+                                 for k, v in losses_k.items()},
+                                bool(ok_k[j]), int(tn_k[j]), (),
+                                order[bstart + j:bstart + j + 1], dt)
+                               for j in range(K)]
+                else:
+                    if self.mesh is None:
+                        batch = {k: jnp.asarray(v)
+                                 for k, v in padded[0].items()}
+                    else:
+                        batch = {k: jnp.asarray(
+                            np.stack([p[k] for p in padded]))
+                            for k in padded[0]}
+                    rng, key = jax.random.split(rng)
+                    state, total, losses, ok, true_num, dets = \
+                        self._step_fn(state, batch, key)
+                    results = [(float(total),
+                                {k: float(v) for k, v in losses.items()},
+                                bool(ok), int(true_num), dets,
+                                order[bstart:bstart + bsz],
+                                time.time() - t0)]
+                for total, losses, ok, true_num, dets, step_sids, dt \
+                        in results:
+                    self._book_step(
+                        state, total, losses, ok, true_num, dets,
+                        step_sids, dt, group, scenes, source, it, epoch,
+                        epochs, steps_per_epoch, t_start,
+                        eval_this_epoch, epoch_preds, epoch_gts,
+                        strikes, culled, culled_names, n_scenes)
+                    it += 1
             if eval_this_epoch and epoch_preds:
                 from detection_3d_tpu.evaluation.detection_eval import \
                     evaluate_detections
@@ -464,3 +468,69 @@ class Trainer:
                             "opt_state": state.opt_state,
                             "step": state.step})
         return state
+
+    def _book_step(self, state, total, losses, ok, true_num, dets,
+                   step_sids, dt, group, scenes, source, it, epoch,
+                   epochs, steps_per_epoch, t_start, eval_this_epoch,
+                   epoch_preds, epoch_gts, strikes, culled, culled_names,
+                   n_scenes):
+        """Per-step host bookkeeping shared by the single / DP / scanned
+        paths: eval-in-train accumulation, capacity warnings, meters,
+        NaN-strike culling, periodic logging, min-loss checkpoint."""
+        cfg = self.cfg
+        if dets and eval_this_epoch:
+            db, dv, dsc, dl = (np.asarray(x) for x in dets)
+            if db.ndim == 2:   # single-device step: one building
+                db, dv, dsc, dl = (x[None] for x in (db, dv, dsc, dl))
+            for bi in range(min(db.shape[0], len(group))):
+                v = dv[bi]
+                epoch_preds.append({"boxes": db[bi][v],
+                                    "scores": dsc[bi][v],
+                                    "labels": dl[bi][v]})
+                epoch_gts.append({"boxes": group[bi]["gt_boxes"],
+                                  "labels": group[bi]["gt_labels"]})
+        cap0 = cfg.caps.scale_caps(cfg.sparse3d.num_scales)[0]
+        if int(true_num) > cap0 and self.logger:
+            self.logger.warning(
+                "iter %d: %d voxels exceed scale-0 capacity %d — "
+                "input subsampled (raise caps)", it, int(true_num), cap0)
+        self.meters.update(loss=total, time=dt, **losses)
+        if not ok:
+            if self.logger:
+                self.logger.warning("non-finite loss at iter %d; "
+                                    "update skipped", it)
+            for si in step_sids:
+                strikes[si] += 1
+                if (strikes[si] >= self.bad_scene_strikes
+                        and si not in culled):
+                    culled.add(si)
+                    name = str(si)
+                    if source is None and isinstance(scenes[si], dict):
+                        name = str(scenes[si].get("scene_name", si))
+                    culled_names.append(name)
+                    self._persist_bad_scenes(culled_names)
+                    if self.logger:
+                        self.logger.warning(
+                            "scene %s culled after %d non-finite steps "
+                            "(%d/%d scenes culled)", name, strikes[si],
+                            len(culled), n_scenes)
+        if self.logger and it % 20 == 0:
+            eta = (time.time() - t_start) / (it + 1) * \
+                (epochs * steps_per_epoch - it - 1)
+            self.logger.info(
+                "iter %d epoch %d eta %.0fs lr %.5f %s", it, epoch,
+                eta, float(self.lr_fn(int(state.step))), self.meters)
+        # min-loss checkpoint (trainer_sparse3d.py:145-150): track the
+        # minimum every step, serialize at most once per min_save_every
+        # iterations (a full msgpack write per step stalls the device
+        # loop). Under scanning the saved state is the CHUNK's final
+        # state, not the mid-chunk minimum.
+        if total < self.min_loss and np.isfinite(total):
+            self.min_loss = total
+            if it - self._last_min_save >= self.min_save_every:
+                self._last_min_save = it
+                self.checkpointer.save(
+                    "model_min_loss",
+                    {"params": state.params,
+                     "opt_state": state.opt_state,
+                     "step": state.step})

@@ -221,3 +221,27 @@ def test_bad_scene_culling(scene, tmp_path):
     trainer2._step_fn = fake_step
     with pytest.raises(RuntimeError):
         trainer2.train([bad], state, epochs=6)
+
+
+def test_scan_steps_training(scene, tmp_path):
+    """Trainer.scan_steps = K runs K steps per device call via lax.scan
+    (host round-trip amortization); bookkeeping still sees every step
+    and the state advances K steps per call."""
+    from detection_3d_tpu.engine.trainer import Trainer
+
+    cfg = tiny_cfg()
+    scenes = [scene,
+              {k: (v.copy() if hasattr(v, "copy") else v)
+               for k, v in scene.items()}]
+    trainer = Trainer(cfg, output_dir=str(tmp_path))
+    trainer.scan_steps = 2
+    state = trainer.init_state(scene, iters_per_epoch=len(scenes))
+    out = trainer.train(scenes, state, epochs=2)
+    assert int(out.step) == 4           # 2 scenes x 2 epochs
+    assert trainer.meters.meters["loss"].count == 4
+    assert np.isfinite(trainer.meters.meters["loss"].avg)
+    # params actually moved
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a - b)).sum()),
+        out.params, state.params)
+    assert sum(jax.tree_util.tree_leaves(d)) > 0
