@@ -88,6 +88,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=240)
     ap.add_argument("--gate", type=float, default=0.7)
     ap.add_argument("--lr", type=float, default=0.01)
+    ap.add_argument("--scan-steps", type=int, default=10,
+                    help="train steps per device call (lax.scan) - "
+                    "amortizes the host round trip")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--resume", action="store_true",
                     help="skip training, evaluate the saved checkpoint")
@@ -127,6 +130,7 @@ def main():
                 len(train_scenes), len(test_scenes), time.time() - t0)
 
     trainer = Trainer(cfg, logger=logger)
+    trainer.scan_steps = args.scan_steps
     state = trainer.init_state(train_scenes[0],
                                iters_per_epoch=len(train_scenes))
     if args.resume:

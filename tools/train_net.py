@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--skip-test", action="store_true")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="use N synthetic buildings instead of SUNCG data")
+    ap.add_argument("--scan-steps", type=int, default=1,
+                    help="train steps per device call (single-device "
+                    "path; amortizes the host round trip)")
     ap.add_argument("--data-root", default=os.environ.get(
         "SUNCG_TORCH_PATH", ""))
     ap.add_argument("opts", nargs="*", default=[])
@@ -85,6 +88,7 @@ def main():
                     dp, bsz)
 
     trainer = Trainer(cfg, output_dir=out, logger=logger, mesh=mesh)
+    trainer.scan_steps = args.scan_steps
     state = trainer.init_state(train_scenes[0],
                                iters_per_epoch=-(-len(train_scenes) // bsz))
     loaded = trainer.checkpointer.load(
