@@ -17,12 +17,12 @@ Geometry-only re-implementation of the reference's offline stage
   * ``refine_house_boxes`` — the full GT refinement chain: wall
     merge/crop, window/door alignment, per-room ceiling/floor validation
     (gen_bbox:608-616 -> data/gt_preprocess.py);
-  * ``sample_surface_points`` — point cloud from the parsed boxes. The
-    reference renders depth images from generated cameras instead
-    (gen_pcl/depth_2_pcl, suncg_preprocess.py:673-834); that path needs
-    the raw SUNCG asset tree (camera files + renderer), so surface
-    sampling is the in-repo point source and rendering stays an
-    injectable hook (``point_source=``) for users with the assets.
+  * ``sample_surface_points`` — fast point cloud from the parsed boxes;
+  * ``house_point_cloud`` — point-source dispatch: ``method="render"``
+    uses data/depth_render.py (z-buffer depth images from room cameras,
+    back-projected and voxel-downsampled — the gen_pcl/depth_2_pcl
+    equivalent, suncg_preprocess.py:673-834, with true occlusion and
+    view-dependent density), ``method="surface"`` the fast sampler.
 
 Everything is plain numpy (offline host-side stage — this feeds the TPU
 pipeline, it is not on it).
@@ -291,6 +291,29 @@ def sample_surface_points(bboxes: Dict[str, np.ndarray],
         n = max(int(weights[i] * num_points), 8)
         pts.append(_box_surface_points(rng, b[:3], b[3:6], b[6], n))
     return np.concatenate(pts, 0).astype(np.float32)
+
+
+def house_point_cloud(bboxes: Dict[str, np.ndarray],
+                      num_points: int = 500_000,
+                      method: str = "render",
+                      seed: int = 0, **render_kw) -> np.ndarray:
+    """House GT boxes -> (N, 3) point cloud. ``method="render"`` is the
+    reference-parity path (depth images from generated room cameras,
+    gen_pcl, suncg_preprocess.py:673-777 — occlusion-correct,
+    view-dependent density); ``method="surface"`` the fast area-weighted
+    face sampler. Both end capped at ``num_points`` by uniform choice
+    (gen_pcl's per-image pre-downsample plays the same role)."""
+    if method == "render":
+        from detection_3d_tpu.data.depth_render import render_house_pcl
+        pts = render_house_pcl(bboxes, seed=seed, **render_kw)
+    elif method == "surface":
+        pts = sample_surface_points(bboxes, num_points, seed=seed)
+    else:
+        raise ValueError(f"unknown point source {method!r}")
+    if pts.shape[0] > num_points:
+        rng = np.random.RandomState(seed)
+        pts = pts[np.sort(rng.choice(pts.shape[0], num_points, False))]
+    return pts
 
 
 def parse_house_file(house_fn: str,

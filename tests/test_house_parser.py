@@ -181,3 +181,19 @@ def test_parse_house_and_refine_two_rooms():
 def test_parse_house_bbox_from_minmax():
     b = bbox_from_minmax([0, 0, 0], [2, 4, 6])
     np.testing.assert_allclose(b, [1, 2, 3, 2, 4, 6, 0])
+
+
+def test_house_point_cloud_render_path():
+    """Rendered point source: occlusion-correct pcl over the parsed
+    house (gen_pcl equivalent through house_point_cloud)."""
+    from detection_3d_tpu.data.house_parser import house_point_cloud
+
+    house, loader, id2class = _two_room_house()
+    refined = refine_house_boxes(parse_house(house, loader, id2class),
+                                 level_num=1)
+    pts = house_point_cloud(refined, num_points=30_000, method="render",
+                            hw=(48, 64), n_yaw=6)
+    assert 2_000 < pts.shape[0] <= 30_000
+    assert pts[:, 0].min() > -0.5 and pts[:, 0].max() < 8.5
+    surf = house_point_cloud(refined, num_points=5_000, method="surface")
+    assert surf.shape[0] <= 5_000
