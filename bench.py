@@ -225,7 +225,13 @@ def main():
     params = jax.jit(functools.partial(model.init, is_train=False))(
         rng, table)
 
-    predict = make_predict_fn(cfg, model)
+    # stream the building as a host-prepared quantized voxel TABLE
+    # (~8 MB instead of 24.5 MB of f32, AND zero device time on the
+    # sort/dedup input layer — it rides the pipelined host loader, like
+    # the reference's host-side SCN Metadata build; data/packing.py)
+    from detection_3d_tpu.data.packing import pack_table
+    batch = {k: jnp.asarray(v) for k, v in pack_table(cfg, scene).items()}
+    predict = make_predict_fn(cfg, model, packed="table")
     # compile
     out = predict(params, batch)
     jax.block_until_ready(out)

@@ -25,13 +25,31 @@ from detection_3d_tpu.models.detector import SparseRCNN, voxelize_points
 from detection_3d_tpu.models.structures import Boxes3D
 
 
-def make_predict_fn(cfg: Config, model: Optional[SparseRCNN] = None):
+def make_predict_fn(cfg: Config, model: Optional[SparseRCNN] = None,
+                    packed=False):
+    """Jitted per-building predict.
+
+    ``packed`` selects the input form:
+      False    — raw f32 batch dict (pad_scene);
+      True     — quantized point dict (data/packing.pack_scene): 4x less
+                 host->device transfer, voxelized on device;
+      "table"  — host-prepared voxel table (data/packing.pack_table):
+                 the sort/dedup input layer runs in the (pipelined) host
+                 loader, zero device time on the voxelize stage.
+    """
     model = model or SparseRCNN(cfg)
 
     @jax.jit
     def predict(params, batch):
-        table = voxelize_points(cfg, batch["points"], batch["feats"],
-                                batch["points_valid"])
+        if packed == "table":
+            from detection_3d_tpu.data.packing import unpack_table
+            table = unpack_table(cfg, batch)
+        else:
+            if packed:
+                from detection_3d_tpu.data.packing import unpack_batch
+                batch = unpack_batch(cfg, batch)
+            table = voxelize_points(cfg, batch["points"], batch["feats"],
+                                    batch["points_valid"])
         det = model.apply(params, table, is_train=False)
         return (det.boxes, det.valid, det.fields["scores"],
                 det.fields["labels"], table.true_num)

@@ -256,13 +256,16 @@ def build_sparse_tensor(coords, feats, valid, spatial_size, batch_size,
         out_feats = jax.ops.segment_max(
             jnp.where(row_on[:, None], feats_s,
                       jnp.finfo(feats.dtype).min),
-            seg_id_c, num_segments=capacity)
+            seg_id_c, num_segments=capacity, indices_are_sorted=True)
         out_feats = jnp.where(jnp.isfinite(out_feats), out_feats, 0.0)
     else:
         sums = jax.ops.segment_sum(feats_s * ones[:, None], seg_id_c,
-                                   num_segments=capacity)
+                                   num_segments=capacity,
+                                   indices_are_sorted=True)
         if reduce == "mean":
-            counts = jax.ops.segment_sum(ones, seg_id_c, num_segments=capacity)
+            counts = jax.ops.segment_sum(ones, seg_id_c,
+                                         num_segments=capacity,
+                                         indices_are_sorted=True)
             out_feats = sums / jnp.maximum(counts, 1.0)[:, None]
         else:
             out_feats = sums
@@ -270,7 +273,7 @@ def build_sparse_tensor(coords, feats, valid, spatial_size, batch_size,
     # representative coords/keys per segment (first occurrence)
     first_idx = jax.ops.segment_min(
         jnp.where(row_on, jnp.arange(n), n), seg_id_c,
-        num_segments=capacity)
+        num_segments=capacity, indices_are_sorted=True)
     in_range = first_idx < n
     gather_idx = jnp.minimum(first_idx, n - 1)
     out_coords = jnp.where(in_range[:, None], coords_s[gather_idx], INVALID)

@@ -124,3 +124,37 @@ def test_merged_multilevel_pool_matches_per_level():
             t, jnp.asarray(rois_l), jnp.asarray(sel), os, sr))
         want[sel] = p[sel]
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_dense_grid_block_gather_matches_search_path():
+    """The 2x2x2 block-gather fast path (dense row-index grid) must be
+    bit-identical to the sorted-key lookup fallback, including rotated
+    rois, multi-"batch" (merged-level) tables, and out-of-grid samples
+    at every grid edge."""
+    rng = np.random.RandomState(3)
+    X, Y, Z, B, C = 16, 12, 8, 2, 4
+    mask = rng.rand(B, X, Y, Z) < 0.35
+    coords = np.argwhere(mask).astype(np.int32)
+    coords = coords[:, [1, 2, 3, 0]]          # (x, y, z, b)
+    feats = rng.randn(coords.shape[0], C).astype(np.float32)
+    cap = coords.shape[0] + 5
+    t = build_sparse_tensor(jnp.asarray(coords), jnp.asarray(feats),
+                            jnp.ones((coords.shape[0],), bool),
+                            (X, Y, Z), B, cap)
+    td = t.with_dense_grid(1 << 20)
+    assert td.dense_grid is not None and t.dense_grid is None
+
+    rois = jnp.asarray([
+        [8.0, 6.0, 4.0, 6.0, 4.0, 4.0, 0.4],
+        [1.0, 1.0, 0.5, 5.0, 5.0, 3.0, -0.9],   # spills past low edges
+        [15.0, 11.0, 7.5, 6.0, 6.0, 4.0, 1.2],  # spills past high edges
+        [8.0, 6.0, 4.0, 30.0, 26.0, 18.0, 0.1],  # covers whole grid
+    ], jnp.float32)
+    rb = jnp.asarray([0, 1, 1, 0], jnp.int32)
+    valid = jnp.ones((4,), bool)
+
+    fast = np.asarray(roi_align_rotated_sparse(
+        td, rois, valid, (3, 2, 2), sampling_ratio=2, roi_batch=rb))
+    slow = np.asarray(roi_align_rotated_sparse(
+        t, rois, valid, (3, 2, 2), sampling_ratio=2, roi_batch=rb))
+    np.testing.assert_allclose(fast, slow, atol=1e-5, rtol=1e-5)

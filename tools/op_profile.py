@@ -115,8 +115,8 @@ def main():
             key = "rotated_iou(pallas)"
         agg[key] += t
         cnt[key] += 1
-        if t > 0.02:
-            big.append((t, name[:150]))
+        if t > 0.005:
+            big.append((t, name[:180]))
     print("\nby op kind (sums include async overlap):")
     for k, t in agg.most_common(12):
         print(f"  {t:8.3f}s n={cnt[k]:5d}  {k}")
