@@ -225,13 +225,23 @@ def main():
     params = jax.jit(functools.partial(model.init, is_train=False))(
         rng, table)
 
-    # stream the building as a host-prepared quantized voxel TABLE
-    # (~8 MB instead of 24.5 MB of f32, AND zero device time on the
-    # sort/dedup input layer — it rides the pipelined host loader, like
-    # the reference's host-side SCN Metadata build; data/packing.py)
-    from detection_3d_tpu.data.packing import pack_table
-    batch = {k: jnp.asarray(v) for k, v in pack_table(cfg, scene).items()}
-    predict = make_predict_fn(cfg, model, packed="table")
+    # stream the building as host-prepared quantized tables + pyramid
+    # metadata: the sort/dedup input layer AND every per-scale rulebook
+    # build rides the (pipelined) host loader — the reference does the
+    # same work host-side in its SCN Metadata C++, but synchronously
+    # inside the forward (data/packing.py, data/pyramid_packing.py).
+    # The host pack cost is measured and printed so the pipelining
+    # claim stays checkable: steady state needs pack_time / n_loader
+    # threads < device time.
+    from detection_3d_tpu.data.native_packer import pack_pyramid_native
+    pack_pyramid_native(cfg, scene)  # build lib + warm page cache
+    t_pack = time.time()
+    packed = pack_pyramid_native(cfg, scene)
+    t_pack = time.time() - t_pack
+    print(f"host pack_pyramid (C++): {t_pack:.3f}s/building "
+          f"(pipelined across loader threads)", file=sys.stderr)
+    batch = {k: jnp.asarray(v) for k, v in packed.items()}
+    predict = make_predict_fn(cfg, model, packed="pyramid")
     # compile
     out = predict(params, batch)
     jax.block_until_ready(out)

@@ -35,13 +35,25 @@ def make_predict_fn(cfg: Config, model: Optional[SparseRCNN] = None,
                  host->device transfer, voxelized on device;
       "table"  — host-prepared voxel table (data/packing.pack_table):
                  the sort/dedup input layer runs in the (pipelined) host
-                 loader, zero device time on the voxelize stage.
+                 loader, zero device time on the voxelize stage;
+      "pyramid"— host-prepared table + FULL pyramid metadata
+                 (data/pyramid_packing.pack_pyramid): every per-scale
+                 table, conv/deconv/submanifold/BEV rulebook and
+                 windowed relayout is built in the loader (the
+                 reference's host-side SCN Metadata role) — the device
+                 runs only dense math.
     """
     model = model or SparseRCNN(cfg)
 
     @jax.jit
     def predict(params, batch):
-        if packed == "table":
+        pyramid = None
+        if packed == "pyramid":
+            from detection_3d_tpu.data.pyramid_packing import (
+                unpack_pyramid,
+            )
+            table, pyramid = unpack_pyramid(cfg, batch)
+        elif packed == "table":
             from detection_3d_tpu.data.packing import unpack_table
             table = unpack_table(cfg, batch)
         else:
@@ -50,7 +62,7 @@ def make_predict_fn(cfg: Config, model: Optional[SparseRCNN] = None,
                 batch = unpack_batch(cfg, batch)
             table = voxelize_points(cfg, batch["points"], batch["feats"],
                                     batch["points_valid"])
-        det = model.apply(params, table, is_train=False)
+        det = model.apply(params, table, is_train=False, pyramid=pyramid)
         return (det.boxes, det.valid, det.fields["scores"],
                 det.fields["labels"], table.true_num)
 
@@ -58,15 +70,53 @@ def make_predict_fn(cfg: Config, model: Optional[SparseRCNN] = None,
 
 
 def run_inference(cfg: Config, params, scenes: Iterable[Dict],
-                  logger=None, evaluate: bool = True):
-    """Returns (predictions, eval_result_or_None, seconds_per_building)."""
-    predict = make_predict_fn(cfg)
+                  logger=None, evaluate: bool = True,
+                  pipelined: bool = False, pack_workers: int = 2):
+    """Returns (predictions, eval_result_or_None, seconds_per_building).
+
+    With ``pipelined=True`` the serving fast path runs: building N+1's
+    host metadata pack (C++ pyramid packer — rulebooks, tables,
+    quantization; data/native_packer.py) proceeds on a worker thread
+    pool while the device executes building N, mirroring how the
+    reference hides its DataLoader workers' IO — except here the entire
+    SCN-Metadata-equivalent build is hidden too, so the device runs
+    only dense math.
+    """
     scenes = list(scenes)
     preds = []
     gts = []
     total_t = 0.0
-    for i, scene in enumerate(scenes):
-        batch = {k: jnp.asarray(v) for k, v in pad_scene(cfg, scene).items()}
+    if pipelined:
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        from detection_3d_tpu.data.native_packer import pack_pyramid_native
+
+        predict = make_predict_fn(cfg, packed="pyramid")
+        pool = ThreadPoolExecutor(max_workers=max(1, pack_workers))
+
+        def packed_stream():
+            # bounded look-ahead: a packed full-scale building is large
+            # (~130 MB of rulebooks), so keep at most `pack_workers`+1
+            # in flight
+            q = deque()
+            for j in range(min(pack_workers, len(scenes))):
+                q.append(pool.submit(pack_pyramid_native, cfg, scenes[j]))
+            for i in range(len(scenes)):
+                nxt = i + pack_workers
+                if nxt < len(scenes):
+                    q.append(pool.submit(pack_pyramid_native, cfg,
+                                         scenes[nxt]))
+                yield q.popleft().result()
+            pool.shutdown(wait=False)
+
+        batches = packed_stream()
+    else:
+        predict = make_predict_fn(cfg)
+        batches = (pad_scene(cfg, scene) for scene in scenes)
+    for i, batch_np in enumerate(batches):
+        scene = scenes[i]
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
         t0 = time.time()
         boxes, valid, scores, labels, true_num = predict(params, batch)
         jax.block_until_ready(boxes)

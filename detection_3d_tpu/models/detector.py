@@ -53,13 +53,17 @@ class SparseRCNN(nn.Module):
 
     @nn.compact
     def __call__(self, table: SparseTensor, gt: Optional[Boxes3D] = None,
-                 gt_labels=None, *, is_train: bool, rng=None):
+                 gt_labels=None, *, is_train: bool, rng=None,
+                 pyramid=None):
         cfg = self.cfg
         # feature compute runs in bf16 on the MXU; geometry, losses and
         # box math stay f32 (heads cast their outputs back)
         table = table.with_feats(
             table.feats.astype(jnp.dtype(cfg.compute_dtype)))
-        pyramid = build_pyramid(table, cfg)
+        # pyramid metadata may arrive precomputed from the host loader
+        # (data/pyramid_packing.unpack_pyramid) — the inference fast path
+        if pyramid is None:
+            pyramid = build_pyramid(table, cfg)
         rpn_maps, roi_maps = SparseFPN(cfg, name="backbone")(table, pyramid)
 
         # group-wise gt (single group passes through unchanged)

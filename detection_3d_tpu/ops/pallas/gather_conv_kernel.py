@@ -69,21 +69,26 @@ _WIN_VMEM_BUDGET = 8 * 2 ** 20
 
 
 def window_starts(idx, v_in: int, block: int = BLOCK,
-                  window: int = WINDOW):
-    """Per-(offset, block) window starts + pass counts, in XLA.
+                  window: int = WINDOW, align: int = _ALIGN):
+    """Per-(offset, block) window starts + span high-water, in XLA.
 
     Args:
       idx: (K, V_out) neighbor rows; missing neighbors == v_in (the pad
         row convention of ops/sparse_conv._padded). V_out % block == 0.
       v_in: number of input rows (pad row excluded).
+      window: MAXIMUM window any conv will run over these starts (starts
+        are clipped so a slice of this size stays in bounds; a conv may
+        then use any window <= this).
+      align: start alignment; must be >= 16 sublanes x the largest
+        grouped-row factor of any conv sharing the rulebook.
     Returns:
-      starts: (K, nb) int32 window start ROWS, 256-aligned (divisible by
-        16 sublanes x any group factor), clipped to [0, v_in - window];
+      starts: (K, nb) int32 window start ROWS, `align`-aligned, clipped
+        to [0, v_in - window];
       local: (K, V_out) int32 idx - start_rows (per block); < 0 for
         missing neighbors (the kernel's one-hot range check masks them
-        for free), may exceed `window` — served by extra passes;
-      passes: (K, nb) int32 ceil(span / window) >= 1 — how many window
-        passes the kernel runs for that (offset, block).
+        for free), may exceed the conv's window — served by extra passes;
+      hi: (K, nb) int32 max local index per block (-1 if all missing) —
+        a conv with window w runs ceil((hi+1)/w) passes.
     """
     k, v_out = idx.shape
     nb = v_out // block
@@ -91,26 +96,35 @@ def window_starts(idx, v_in: int, block: int = BLOCK,
     real = idxb < v_in
     starts = jnp.min(jnp.where(real, idxb, v_in), axis=2)
     starts = jnp.clip(starts, 0, max(v_in - window, 0))
-    starts = (starts & ~(_ALIGN - 1)).astype(jnp.int32)
+    starts = (starts & ~(align - 1)).astype(jnp.int32)
     local = idxb - starts[:, :, None]
-    hi = jnp.max(jnp.where(real, local, -1), axis=2)
-    passes = jnp.maximum(hi // window + 1, 1).astype(jnp.int32)
-    return starts, local.reshape(k, v_out), passes
+    hi = jnp.max(jnp.where(real, local, -1), axis=2).astype(jnp.int32)
+    return starts, local.reshape(k, v_out), hi
 
 
-def windowed_rulebook(neighbor_idx, out_valid, v_in: int):
+def windowed_rulebook(neighbor_idx, out_valid, v_in: int,
+                      block: int = BLOCK, align: int = _ALIGN):
     """Precomputable fast-conv metadata shared by all convs over one
-    rulebook (one per scale per kernel shape). Pads V_out to a BLOCK
+    rulebook (one per scale per kernel shape). Pads V_out to a `block`
     multiple and masks invalid output rows to the pad row (their coords
     are padding — arbitrary lookup results would blow up window spans).
+
+    Window size is NOT baked in: `hi` records each block's span
+    high-water, so every conv sharing the rulebook picks its own window
+    (pass count = ceil((hi+1)/window)) — narrow-channel convs want small
+    windows (the one-hot gather matmul costs window x Cin per row).
     """
     n_off, v_out = neighbor_idx.shape
     idx = jnp.where(out_valid[None, :], neighbor_idx, v_in)
-    pad = (-v_out) % BLOCK
+    pad = (-v_out) % block
     idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=v_in)
-    starts, local, passes = window_starts(idx, v_in)
+    starts, local, hi = window_starts(idx, v_in, block=block,
+                                      window=WINDOW, align=align)
+    # block is recoverable from shapes (local.shape[1] // starts.shape[1])
+    # so the dict stays a pure array pytree (jit/vjp-safe); align is the
+    # caller's contract (>= 16 x the largest group of any sharing conv)
     return {"idx": neighbor_idx, "starts": starts, "local": local,
-            "passes": passes}
+            "hi": hi}
 
 
 def _kernel(starts_ref, passes_ref, feats_hbm, off_ref, w_ref, out_ref,
@@ -258,13 +272,30 @@ def _windowed_gather_conv(feats, rb, weights, out_valid):
     return _windowed_fwd_impl(feats, rb, weights, out_valid)
 
 
+def _window_for(cin: int) -> int:
+    """Per-channel-width window: the one-hot gather matmul costs
+    window x Cin per output row vs Cin x Cout of useful GEMM, so
+    narrow-channel convs want the smallest window whose pass tail stays
+    short. Values from tools/tune_conv.py sweeps on real bench tables."""
+    return _WINDOW_BY_CIN.get(cin, WINDOW)
+
+
+_WINDOW_BY_CIN = {}
+
+
 def _windowed_fwd_impl(feats, rb, weights, out_valid, interpret=False):
     v_in, cin = feats.shape
     group = _group_of(cin)
     v_out = rb["idx"].shape[1]
+    block = rb["local"].shape[1] // rb["starts"].shape[1]
+    window = min(_window_for(cin), WINDOW)
+    if "hi" in rb:
+        passes = jnp.maximum(rb["hi"] // window + 1, 1)
+    else:  # pre-`hi` rulebook layout: window is baked into the passes
+        passes, window = rb["passes"], WINDOW
     feats_g = feats.reshape(v_in // group, group * cin)
-    out = _windowed_conv_call(feats_g, rb["starts"], rb["passes"],
-                              rb["local"], weights, BLOCK, WINDOW, group,
+    out = _windowed_conv_call(feats_g, rb["starts"], passes,
+                              rb["local"], weights, block, window, group,
                               interpret)[:v_out]
     return jnp.where(out_valid[:, None], out, 0.0).astype(feats.dtype)
 

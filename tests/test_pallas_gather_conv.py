@@ -64,9 +64,10 @@ def test_window_starts_properties():
     valid = np.asarray(t.row_valid)
     idx = np.where(valid[None, :], idx, v_in)
     block, window = BLOCK, WINDOW
-    starts, local, passes = window_starts(jnp.array(idx), v_in)
-    starts, local, passes = (np.asarray(starts), np.asarray(local),
-                             np.asarray(passes))
+    starts, local, hi_w = window_starts(jnp.array(idx), v_in)
+    starts, local, hi_w = (np.asarray(starts), np.asarray(local),
+                           np.asarray(hi_w))
+    passes = np.maximum(hi_w // window + 1, 1)
     assert (passes >= 1).all()
     # every real neighbor is covered by some pass of its block
     nb2 = idx.shape[1] // block
@@ -102,7 +103,7 @@ def test_multipass_exact():
     idx = jnp.minimum(jnp.arange(v, dtype=jnp.int32) * 4, v - 1)[None, :]
     valid = jnp.ones((v,), bool)
     rb = windowed_rulebook(idx, valid, v)
-    assert int(np.asarray(rb["passes"]).max()) > 1
+    assert int(np.asarray(rb["hi"]).max()) >= WINDOW  # needs pass 2
     want = np.asarray(gather_conv(feats, idx, w, valid))
     got = np.asarray(windowed_gather_conv_interpret(feats, idx, w, valid))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)

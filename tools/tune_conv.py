@@ -67,16 +67,19 @@ def main():
                          ).astype(np.float32)
         group = gck._group_of(cin)
         feats_g = feats.reshape(t.capacity // group, group * cin)
-        for block in (256, 512):
-            for window in (512, 768, 1024, 1536):
-                if window % gck._ALIGN and window < gck._ALIGN:
-                    pass
+        for block in (128, 256, 512):
+          for align in sorted({16 * group, 256}):
+            for window in (256, 384, 512, 768, 1024):
+                if window < align or window < block // 2:
+                    continue
                 pad = (-t.capacity) % block
                 idxp = jnp.pad(
                     jnp.where(t.row_valid[None, :], idx, t.capacity),
                     ((0, 0), (0, pad)), constant_values=t.capacity)
-                starts, local, passes = gck.window_starts(
-                    idxp, t.capacity, block=block, window=window)
+                starts, local, hi = gck.window_starts(
+                    idxp, t.capacity, block=block, window=gck.WINDOW,
+                    align=align)
+                passes = jnp.maximum(hi // window + 1, 1)
 
                 fn = jax.jit(lambda fg, st, ps, lc: gck._windowed_conv_call(
                     fg, st, ps, lc, w, block, window, group))
@@ -91,7 +94,8 @@ def main():
                 dt = (time.time() - t0) / iters
                 mp = float(np.asarray(passes).mean())
                 print(f"scale {s} V={t.capacity:7d} C={cin:3d} "
-                      f"block={block:4d} window={window:5d}: "
+                      f"block={block:4d} window={window:5d} "
+                      f"align={align:3d}: "
                       f"{dt * 1e3:7.2f} ms passes~{mp:.2f} "
                       f"{'OK' if err <= 1e-2 else f'ERR {err:.1e}'}")
 
