@@ -81,3 +81,29 @@ class Checkpointer:
         if self.logger:
             self.logger.info("Loaded checkpoint from %s", path)
         return restored
+
+    def prune(self, keep_last: int = 0) -> list:
+        """Delete stale periodic snapshots (reference clean_models.py:1-20):
+        every ``model_*.msgpack`` except the tagged last checkpoint,
+        ``model_final`` and ``model_min_loss`` is removed. ``keep_last``
+        additionally spares the N newest periodic snapshots. Returns the
+        removed paths."""
+        import glob
+        keep = {os.path.join(self.save_dir, "model_final.msgpack"),
+                os.path.join(self.save_dir, "model_min_loss.msgpack")}
+        tagged = self.get_checkpoint_file()
+        if tagged:
+            if not os.path.isabs(tagged):
+                tagged = os.path.join(self.save_dir, tagged)
+            keep.add(tagged)
+        snaps = sorted(
+            p for p in glob.glob(os.path.join(self.save_dir,
+                                              "model_*.msgpack"))
+            if p not in keep)
+        if keep_last > 0:
+            snaps = snaps[:-keep_last]
+        for p in snaps:
+            os.remove(p)
+            if self.logger:
+                self.logger.info("pruned stale checkpoint %s", p)
+        return snaps

@@ -20,8 +20,9 @@ class SmoothedValue:
 
     @property
     def median(self) -> float:
+        # lower median for even windows — torch.median parity
         d = sorted(self.deque)
-        return d[len(d) // 2] if d else 0.0
+        return d[(len(d) - 1) // 2] if d else 0.0
 
     @property
     def avg(self) -> float:

@@ -56,8 +56,8 @@ class TestCheckpointer:
         _assert_state_equal(restored, latest)
 
     def test_resume_overrides_explicit_path(self, tmp_path):
-        """reference utils/checkpoint.py:32-47: the auto-resume tag wins
-        over explicitly requested weights."""
+        """reference utils/checkpoint.py:53-56 (load()): the auto-resume
+        tag wins over explicitly requested weights."""
         ck = Checkpointer(str(tmp_path))
         explicit = ck.save("explicit", _state(1))
         resumed_state = _state(2)
@@ -72,6 +72,35 @@ class TestCheckpointer:
         os.remove(ck._tag_file())
         restored = ck.load(_state(5), path=path)
         _assert_state_equal(restored, state)
+
+    def test_prune_keeps_tagged_final_minloss(self, tmp_path):
+        """reference clean_models.py:1-20: periodic snapshots go, the
+        tagged last checkpoint / model_final / model_min_loss stay."""
+        ck = Checkpointer(str(tmp_path))
+        ck.save("model_0000010", _state(1))
+        ck.save("model_0000020", _state(2))
+        ck.save("model_min_loss", _state(3))
+        ck.save("model_final", _state(4))
+        ck.save("model_0000030", _state(5))  # tagged last
+        removed = ck.prune()
+        assert sorted(os.path.basename(p) for p in removed) == \
+            ["model_0000010.msgpack", "model_0000020.msgpack"]
+        left = sorted(f for f in os.listdir(tmp_path)
+                      if f.endswith(".msgpack"))
+        assert left == ["model_0000030.msgpack", "model_final.msgpack",
+                        "model_min_loss.msgpack"]
+        # tagged checkpoint still resumes after pruning
+        _assert_state_equal(ck.load(_state(9)), _state(5))
+
+    def test_prune_keep_last(self, tmp_path):
+        ck = Checkpointer(str(tmp_path))
+        for i in range(1, 5):
+            ck.save(f"model_{i:07d}", _state(i))
+        ck.save("model_final", _state(9))
+        removed = ck.prune(keep_last=2)
+        # model_final holds the tag; keep_last=2 spares 0000003/0000004
+        assert sorted(os.path.basename(p) for p in removed) == \
+            ["model_0000001.msgpack", "model_0000002.msgpack"]
 
     def test_tag_survives_directory_move(self, tmp_path):
         """Tag stores a basename, so a renamed output dir still resumes."""
@@ -93,7 +122,7 @@ class TestMetricLogger:
             sv.update(v)
         # window holds [6,7,8,9]
         assert sv.avg == pytest.approx(7.5)
-        assert sv.median == 8  # upper median of the sorted window
+        assert sv.median == 7  # lower median (torch.median parity)
         assert sv.global_avg == pytest.approx(sum(range(10)) / 10)
 
     def test_update_and_attr_access(self):
