@@ -77,6 +77,7 @@ def prep(cfg, scene):
     return table, gt, jnp.asarray(gtl)
 
 
+@pytest.mark.slow
 def test_train_and_eval_forward(scene):
     cfg = tiny_cfg()
     table, gt, gt_labels = prep(cfg, scene)
@@ -100,6 +101,7 @@ def test_train_and_eval_forward(scene):
     assert np.all(np.isfinite(s[v])) if v.any() else True
 
 
+@pytest.mark.slow
 def test_train_grad_step_decreases_loss(scene):
     cfg = tiny_cfg()
     table, gt, gt_labels = prep(cfg, scene)
@@ -157,6 +159,7 @@ def test_config_validate_rejects_silent_noops():
         tiny_cfg(solver=SolverConfig(track_running_stats=True)).validate()
 
 
+@pytest.mark.slow
 def test_eval_in_train_accumulation(scene, tmp_path):
     """cfg.eval_in_train: the train step postprocesses non-GT sampled
     proposals into predictions and the Trainer evaluates at epoch end
@@ -223,6 +226,7 @@ def test_bad_scene_culling(scene, tmp_path):
         trainer2.train([bad], state, epochs=6)
 
 
+@pytest.mark.slow
 def test_scan_steps_training(scene, tmp_path):
     """Trainer.scan_steps = K runs K steps per device call via lax.scan
     (host round-trip amortization); bookkeeping still sees every step

@@ -2,6 +2,7 @@
 reference semantics (matcher.py:58-177) directly."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from detection_3d_tpu.models.matcher import (
@@ -33,6 +34,7 @@ def oracle_match(quality, high, low, allow_low_quality,
     return matches
 
 
+@pytest.mark.slow
 def test_matcher_matches_oracle_random():
     rng = np.random.RandomState(0)
     for trial in range(10):

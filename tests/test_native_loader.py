@@ -99,6 +99,7 @@ def test_prefetch_overlaps(packs):
     loader.close()
 
 
+@pytest.mark.slow
 def test_trainer_consumes_native_loader(tmp_path):
     """Trainer.train accepts the prefetching loader in place of a scene
     list (2 tiny epochs on CPU; loss finite, steps advance)."""

@@ -11,6 +11,7 @@ from detection_3d_tpu.ops.pallas.rotated_iou_kernel import (
 
 
 @pytest.mark.parametrize("criterion", [-1, 2])
+@pytest.mark.slow
 def test_pallas_matches_xla(criterion):
     rng = np.random.RandomState(0)
     n, k = 13, 37  # force padding in both dims
@@ -27,6 +28,7 @@ def test_pallas_matches_xla(criterion):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_self_iou():
     # note: identical boxes can get IoU 0 from float-equality in the
     # inclusive corner tests (the reference has the same quirk and fixes

@@ -16,6 +16,7 @@ from detection_3d_tpu.parallel.mesh import make_mesh, batched_train_step
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >=2 devices")
+@pytest.mark.slow
 def test_batched_train_step_dp():
     import functools
 
@@ -73,6 +74,7 @@ def test_batched_train_step_dp():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >=2 devices")
+@pytest.mark.slow
 def test_trainer_dp_end_to_end(tmp_path):
     """Trainer.train itself on a 2-device dp mesh: shuffled batched
     epochs, pmean'd gradients, NaN-gated state transition, checkpoints."""
@@ -119,6 +121,7 @@ def test_trainer_dp_end_to_end(tmp_path):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >=2 devices")
+@pytest.mark.slow
 def test_trainer_dp_eval_in_train(tmp_path):
     """eval-in-train on the DP path: per-shard train-time detections are
     all-gathered over dp (the reference gathers in-train eval across

@@ -4,6 +4,7 @@ and windowed relayout must be BIT-EXACT, and the end-to-end packed
 predict must reproduce the unpacked detections."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -72,6 +73,7 @@ def test_np_windowed_rulebook_matches_device():
                                       np.asarray(want[k]), err_msg=k)
 
 
+@pytest.mark.slow
 def test_pack_pyramid_bit_exact():
     cfg, scene = _cfg_scene()
     t0_ref, pyr_ref = _ref_pyramid(cfg, scene)
@@ -106,6 +108,7 @@ def test_pack_pyramid_bit_exact():
         _assert_rb_equal(brb, brb_ref, f"bev{slot}")
 
 
+@pytest.mark.slow
 def test_packed_pyramid_predict_matches_table_path():
     """End-to-end: packed-pyramid predict == packed-table predict (same
     quantized inputs, so detections must be identical)."""
@@ -133,6 +136,7 @@ def test_packed_pyramid_predict_matches_table_path():
                                    atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipelined_inference_matches_default():
     """run_inference(pipelined=True) (C++ pack + packed-pyramid predict,
     threaded look-ahead) must reproduce the default path's detections

@@ -104,6 +104,7 @@ def test_slice_and_merge():
     np.testing.assert_array_equal(lab, [2, 2, 2, 1, 1, 1, 4, 4, 4])
 
 
+@pytest.mark.slow
 def test_separate_e2e_forward():
     from detection_3d_tpu.data.synthetic import synthetic_building
     from detection_3d_tpu.engine.trainer import pad_scene

@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--stage", default="full",
                     choices=["full", "backbone"])
     ap.add_argument("--top", type=int, default=15)
+    ap.add_argument("--mfu", action="store_true",
+                    help="report true GEMM FLOPs per stage + MFU "
+                    "(utils/flops.py)")
+    ap.add_argument("--peak-tflops", type=float, default=197.0,
+                    help="chip peak (bf16 TFLOP/s; v5e=197, v5p=459)")
     args = ap.parse_args()
 
     import jax
@@ -123,6 +128,32 @@ def main():
     print("\ntop individual ops:")
     for t, n in sorted(big, reverse=True)[:args.top]:
         print(f"  {t:8.4f}s {n}")
+
+    if args.mfu:
+        from detection_3d_tpu.utils.flops import (
+            gather_overhead_flops, model_gemm_flops, pyramid_pair_stats,
+        )
+        stats = pyramid_pair_stats(cfg, table)
+        fl = model_gemm_flops(cfg, stats)
+        dt = tpu_device_time(d) / iters
+        peak = args.peak_tflops * 1e12
+        print(f"\nrows/scale: {stats['rows']}")
+        print("true GEMM FLOPs per stage (2*pairs*Cin*Cout):")
+        for k, v in fl.items():
+            if k != "total":
+                print(f"  {k:10s} {v / 1e9:9.2f} GF")
+        total = fl["total"]
+        print(f"  {'total':10s} {total / 1e9:9.2f} GF")
+        ovh = gather_overhead_flops(cfg, stats)
+        print(f"one-hot gather overhead (window matmuls, not counted): "
+              f"{ovh / 1e9:.2f} GF ({ovh / max(total, 1):.1f}x the true "
+              f"work)")
+        print(f"device time {dt:.4f}s -> achieved "
+              f"{total / dt / 1e12:.3f} TF/s true | "
+              f"{(total + ovh) / dt / 1e12:.3f} TF/s incl. gather")
+        print(f"MFU vs {args.peak_tflops:.0f} TF/s peak: "
+              f"{100 * total / dt / peak:.2f}% true | "
+              f"{100 * (total + ovh) / dt / peak:.2f}% incl. gather")
 
 
 if __name__ == "__main__":
