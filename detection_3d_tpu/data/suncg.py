@@ -90,8 +90,6 @@ class SUNCGDataset:
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         import torch  # CPU-only deserialization of the reference format
-        from detection_3d_tpu.ops.geometry import standard_to_yx_zb
-        import jax.numpy as jnp
 
         pcl, bboxes_dic = torch.load(self.files[index],
                                      map_location="cpu", weights_only=False)
@@ -102,8 +100,7 @@ class SUNCGDataset:
     def prepare_scene(self, pcl: np.ndarray,
                       bboxes_dic: Dict[str, np.ndarray]):
         """pcl (N, 9); bboxes_dic class -> (M, 7) STANDARD boxes."""
-        from detection_3d_tpu.ops.geometry import standard_to_yx_zb
-        import jax.numpy as jnp
+        from detection_3d_tpu.data.synthetic import standard_to_yx_zb_np
 
         cfg = self.cfg
         xyz = pcl[:, :3].copy()
@@ -114,7 +111,7 @@ class SUNCGDataset:
                 continue
             if boxes.shape[0] == 0:
                 continue
-            yx = np.asarray(standard_to_yx_zb(jnp.asarray(boxes)))
+            yx = standard_to_yx_zb_np(boxes).astype(np.float32)
             if obj in ("ceiling", "floor", "room"):
                 yx = _set_yaw_zero(yx)
             boxes_all.append(yx)

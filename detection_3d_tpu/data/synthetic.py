@@ -15,6 +15,22 @@ from __future__ import annotations
 import numpy as np
 
 
+def standard_to_yx_zb_np(boxes):
+    """numpy twin of ops.geometry.standard_to_yx_zb (bbox3d_ops.py:157-176).
+
+    Scene generation is host code and must not touch the accelerator: a
+    jitted op per scene means a fresh-shape compile per scene (gt counts
+    vary), which over the remote-compile tunnel serializes generation
+    behind the device. Parity with the jax version is pinned in
+    tests/test_geometry.py.
+    """
+    xc, yc, zc, xs, ys, zs, yaw = np.split(np.asarray(boxes), 7, axis=-1)
+    zb = zc - zs * 0.5
+    yaw = yaw - np.pi * 0.5
+    yaw = yaw - np.floor(yaw / np.pi + 0.5) * np.pi   # [-pi/2, pi/2]
+    return np.concatenate([xc, yc, zb, ys, xs, zs, yaw], axis=-1)
+
+
 def _box_surface_points(rng, center, size, yaw, n):
     """Sample n points on the two large faces of a thin box."""
     local = rng.uniform(-0.5, 0.5, (n, 3)) * size
@@ -136,11 +152,9 @@ def synthetic_building(seed: int = 0, num_points: int = 60_000,
     scaled = scaled - shift
 
     # gt to yx_zb with the same shift (boxes are in meters: shift/scale)
-    from detection_3d_tpu.ops.geometry import standard_to_yx_zb
-    import jax.numpy as jnp
     boxes_shifted = boxes_std.copy()
     boxes_shifted[:, :3] -= shift / voxel_scale
-    gt_yx_zb = np.asarray(standard_to_yx_zb(jnp.asarray(boxes_shifted)))
+    gt_yx_zb = standard_to_yx_zb_np(boxes_shifted)
 
     return {"points": scaled.astype(np.float32), "feats": feats,
             "gt_boxes": gt_yx_zb.astype(np.float32), "gt_labels": labels}
@@ -363,11 +377,9 @@ def synthetic_varied_building(seed: int = 0, num_points: int = 35_000,
     shift = scaled.min(0)
     scaled = scaled - shift
 
-    from detection_3d_tpu.ops.geometry import standard_to_yx_zb
-    import jax.numpy as jnp
     boxes_shifted = boxes_std.copy()
     boxes_shifted[:, :3] -= shift / voxel_scale
-    gt_yx_zb = np.asarray(standard_to_yx_zb(jnp.asarray(boxes_shifted)))
+    gt_yx_zb = standard_to_yx_zb_np(boxes_shifted)
     return {"points": scaled.astype(np.float32), "feats": feats,
             "gt_boxes": gt_yx_zb.astype(np.float32), "gt_labels": labels,
             "n_rooms": len(active)}

@@ -71,16 +71,23 @@ def make_predict_fn(cfg: Config, model: Optional[SparseRCNN] = None,
 
 def run_inference(cfg: Config, params, scenes: Iterable[Dict],
                   logger=None, evaluate: bool = True,
-                  pipelined: bool = False, pack_workers: int = 2):
+                  pipelined: bool = False, pack_workers: int = 2,
+                  pack_mode: str = "pyramid", predict_fn=None):
     """Returns (predictions, eval_result_or_None, seconds_per_building).
 
     With ``pipelined=True`` the serving fast path runs: building N+1's
-    host metadata pack (C++ pyramid packer — rulebooks, tables,
-    quantization; data/native_packer.py) proceeds on a worker thread
-    pool while the device executes building N, mirroring how the
-    reference hides its DataLoader workers' IO — except here the entire
-    SCN-Metadata-equivalent build is hidden too, so the device runs
-    only dense math.
+    host pack proceeds on a worker thread pool while the device executes
+    building N, mirroring how the reference hides its DataLoader
+    workers' IO. ``pack_mode`` picks the host/device work split:
+      "pyramid" — the full SCN-Metadata-equivalent build (every
+          per-scale table + rulebook, C++ packer) rides the loader; the
+          device runs only dense math. Lowest device time; needs
+          host_pack_s / pack_workers < device_s to stay hidden (~0.9 s
+          of host work per full-scale building).
+      "table" — only quantize/sort/dedup (the input layer) packs on the
+          host (~6x cheaper); per-scale metadata builds in-graph. Best
+          end-to-end on host-core-starved machines where the pyramid
+          pack cannot be hidden.
     """
     scenes = list(scenes)
     preds = []
@@ -90,9 +97,15 @@ def run_inference(cfg: Config, params, scenes: Iterable[Dict],
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        from detection_3d_tpu.data.native_packer import pack_pyramid_native
+        if pack_mode == "pyramid":
+            from detection_3d_tpu.data.native_packer import (
+                pack_pyramid_native as pack_fn,
+            )
+        else:
+            from detection_3d_tpu.data.packing import pack_table
+            pack_fn = pack_table
 
-        predict = make_predict_fn(cfg, packed="pyramid")
+        predict = predict_fn or make_predict_fn(cfg, packed=pack_mode)
         pool = ThreadPoolExecutor(max_workers=max(1, pack_workers))
 
         def packed_stream():
@@ -101,18 +114,17 @@ def run_inference(cfg: Config, params, scenes: Iterable[Dict],
             # in flight
             q = deque()
             for j in range(min(pack_workers, len(scenes))):
-                q.append(pool.submit(pack_pyramid_native, cfg, scenes[j]))
+                q.append(pool.submit(pack_fn, cfg, scenes[j]))
             for i in range(len(scenes)):
                 nxt = i + pack_workers
                 if nxt < len(scenes):
-                    q.append(pool.submit(pack_pyramid_native, cfg,
-                                         scenes[nxt]))
+                    q.append(pool.submit(pack_fn, cfg, scenes[nxt]))
                 yield q.popleft().result()
             pool.shutdown(wait=False)
 
         batches = packed_stream()
     else:
-        predict = make_predict_fn(cfg)
+        predict = predict_fn or make_predict_fn(cfg)
         batches = (pad_scene(cfg, scene) for scene in scenes)
     for i, batch_np in enumerate(batches):
         scene = scenes[i]

@@ -108,6 +108,17 @@ def check_capacities(cfg: Config, scene: Dict, logger=None):
     return out
 
 
+def cycle_pad(order: list, k: int) -> list:
+    """Pad ``order`` to a multiple of ``k`` by cycling it. Correct even
+    when the pad exceeds len(order) (k > n_scenes, e.g. a 4-scene run
+    with scan_steps=10 — previously crashed the scan with mismatched
+    leading axes)."""
+    if len(order) % k:
+        pad = k - len(order) % k
+        order = order + (order * (pad // len(order) + 1))[:pad]
+    return order
+
+
 class Trainer:
     """Single-device or data-parallel training loop.
 
@@ -322,6 +333,142 @@ class Trainer:
 
         return train_step
 
+    def _build_packed_step(self):
+        """Train step over a host-packed pyramid batch: ALL
+        input-dependent metadata (tables, conv/deconv/submanifold/BEV
+        rulebooks, windowed relayouts) arrives precomputed
+        (data/pyramid_packing.pack_pyramid) — the device runs only dense
+        math, exactly like the inference fast path. The reference
+        rebuilds its SCN Metadata hash tables inside EVERY training
+        forward (SparseConvNet/sparseconvnet/SCN/Metadata/Metadata.cpp
+        via trainer_sparse3d.py:69-121); here that work is done once per
+        scene and cached (see train_resident)."""
+        from detection_3d_tpu.data.pyramid_packing import unpack_pyramid
+
+        model, cfg, tx = self.model, self.cfg, self._tx
+
+        def train_step(state: TrainState, batch, rng):
+            table, pyramid = unpack_pyramid(cfg, batch)
+            gt = Boxes3D(batch["gt_boxes"], batch["gt_valid"])
+
+            def loss_fn(params):
+                losses, _ = model.apply(params, table, gt,
+                                        batch["gt_labels"], is_train=True,
+                                        rng=rng, pyramid=pyramid)
+                return sum(jax.tree_util.tree_leaves(losses)), losses
+
+            (total, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            grads_ok = jax.tree_util.tree_reduce(
+                lambda a, g: a & jnp.all(jnp.isfinite(g)), grads,
+                jnp.bool_(True))
+            ok = jnp.isfinite(total) & grads_ok
+            updates, new_opt = tx.update(grads, state.opt_state,
+                                         state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            keep = lambda n, o: jnp.where(ok, n, o)   # noqa: E731
+            new_params = jax.tree_util.tree_map(keep, new_params,
+                                                state.params)
+            new_opt = jax.tree_util.tree_map(keep, new_opt,
+                                             state.opt_state)
+            new_state = TrainState(params=new_params, opt_state=new_opt,
+                                   step=state.step + 1)
+            return new_state, total, losses, ok
+
+        return train_step
+
+    def train_resident(self, scenes, state: TrainState, epochs: int,
+                       seed: int = 0, chunk: int = 100,
+                       checkpoint_every_chunks: int = 10):
+        """Device-resident cached-metadata training — the gate fast path.
+
+        Pack every scene's full pyramid metadata ONCE on the host (C++
+        packer, data/native_packer.py), stack the packed scenes into one
+        device-resident pytree (leading axis = n_scenes), then train as
+        `lax.scan` chunks whose bodies INDEX the resident dataset: zero
+        per-step host work and zero per-step H2D beyond a shuffled index
+        vector. Steps/s is then bounded by fwd+bwd GEMM time alone.
+
+        Requires the stacked dataset to fit HBM alongside params/opt
+        (~15-25 MB/scene at the gate config). No eval-in-train or strike
+        culling on this path; non-finite steps are skipped by the
+        in-step NaN gate and counted.
+        """
+        from detection_3d_tpu.data.native_packer import pack_pyramid_native
+
+        cfg = self.cfg
+        scenes = list(scenes)
+        n = len(scenes)
+        t0 = time.time()
+        packed = [pack_pyramid_native(cfg, s) for s in scenes]
+        data = jax.device_put(
+            {k: np.stack([p[k] for p in packed]) for k in packed[0]})
+        if self.logger:
+            sz = sum(v.nbytes for v in jax.tree_util.tree_leaves(data))
+            self.logger.info(
+                "train_resident: packed %d scenes in %.1fs "
+                "(%.0f MB resident)", n, time.time() - t0, sz / 1e6)
+        del packed
+
+        if self._tx is None:
+            raise RuntimeError("call init_state first")
+        step_fn = self._build_packed_step()
+
+        @jax.jit
+        def run_chunk(state, idxs, rngs, data):
+            def f(st, xs):
+                i, r = xs
+                b = jax.tree_util.tree_map(lambda a: a[i], data)
+                st2, total, losses, ok = step_fn(st, b, r)
+                return st2, (total, losses, ok)
+            return jax.lax.scan(f, state, (idxs, rngs))
+
+        rng = jax.random.PRNGKey(seed + 123)
+        shuffle_rng = np.random.default_rng(seed + 77)
+        total_steps = epochs * n
+        order = np.concatenate([shuffle_rng.permutation(n)
+                                for _ in range(epochs)]).astype(np.int32)
+        order = np.concatenate(
+            [order, order[:(-len(order)) % chunk]]) if len(order) % chunk \
+            else order
+        n_chunks = len(order) // chunk
+        t0 = time.time()
+        done = 0
+        skipped = 0
+        for c in range(n_chunks):
+            rng, sub = jax.random.split(rng)
+            idxs = jnp.asarray(order[c * chunk:(c + 1) * chunk])
+            state, (totals, losses, oks) = run_chunk(
+                state, idxs, jax.random.split(sub, chunk), data)
+            totals = np.asarray(totals)   # one fetch per chunk
+            oks = np.asarray(oks)
+            done += chunk
+            skipped += int((~oks).sum())
+            mean_loss = float(np.nanmean(np.where(oks, totals, np.nan)))
+            if self.logger:
+                dt = (time.time() - t0) / done
+                eta = dt * (total_steps - done)
+                self.logger.info(
+                    "resident step %d/%d epoch %d loss %.4f "
+                    "(chunk mean %.4f) time %.4fs/step eta %.0fs%s",
+                    done, total_steps, done // n, float(totals[-1]),
+                    mean_loss, dt, eta,
+                    f" SKIPPED {skipped} non-finite" if skipped else "")
+            if np.isfinite(mean_loss) and mean_loss < self.min_loss:
+                self.min_loss = mean_loss
+                self.checkpointer.save("model_min_loss", {
+                    "params": state.params, "opt_state": state.opt_state,
+                    "step": state.step})
+            if (c + 1) % checkpoint_every_chunks == 0:
+                self.checkpointer.save("model_resident_last", {
+                    "params": state.params, "opt_state": state.opt_state,
+                    "step": state.step})
+        if self.logger:
+            self.logger.info("train_resident: %d steps in %.1fs "
+                             "(%.4fs/step)", done, time.time() - t0,
+                             (time.time() - t0) / max(done, 1))
+        return state
+
     # -- the loop ----------------------------------------------------------
     def train(self, scenes, state: TrainState,
               epochs: int, seed: int = 0,
@@ -378,16 +525,15 @@ class Trainer:
                     "trainer: every scene was culled as bad "
                     f"({len(culled)} scenes with >= "
                     f"{self.bad_scene_strikes} non-finite steps)")
-            if len(order) % bsz:  # cycle-pad the final batch
-                order += order[:bsz - len(order) % bsz]
+            order = cycle_pad(order, bsz)  # final-batch fill
             epoch_iter = iter(source.epoch(order)) if source else None
             # multi-step scanning (self.scan_steps = K > 1): K steps per
             # device call via lax.scan — the per-step host<->device round
             # trip dominates wall-clock on small scenes
             K = self.scan_steps
             use_scan = K > 1 and self.mesh is None and not eval_this_epoch
-            if use_scan and len(order) % K:
-                order += order[:K - len(order) % K]   # cycle-pad
+            if use_scan:
+                order = cycle_pad(order, K)
             stride = K if use_scan else bsz
             for bstart in range(0, len(order), stride):
                 if source:

@@ -80,6 +80,9 @@ def _compact(mask, cap: int):
     n = mask.shape[0]
     order = jnp.argsort(
         jnp.where(mask, jnp.arange(n, dtype=jnp.int32), n))
+    if cap > n:   # more halo slots than table rows: pad with sentinels
+        order = jnp.concatenate(
+            [order, jnp.full((cap - n,), n - 1, order.dtype)])
     idx = order[:cap]
     count = jnp.sum(mask.astype(jnp.int32))
     ok = jnp.arange(cap) < jnp.minimum(count, cap)
@@ -541,6 +544,111 @@ def make_spatial_train_step(cfg: Config, mesh: Mesh, tx, shard_caps,
     import optax
 
     grad_fn = make_spatial_grad_fn(cfg, mesh, shard_caps, halo_caps, axis)
+
+    @jax.jit
+    def step(state, batch, rng):
+        total, losses, grads, ovf = grad_fn(state.params, batch, rng)
+        grads_ok = jax.tree_util.tree_reduce(
+            lambda a, g: a & jnp.all(jnp.isfinite(g)), grads,
+            jnp.bool_(True))
+        ok = jnp.isfinite(total) & grads_ok
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        keep = lambda n, o: jnp.where(ok, n, o)   # noqa: E731
+        new_params = jax.tree_util.tree_map(keep, new_params,
+                                            state.params)
+        new_opt = jax.tree_util.tree_map(keep, new_opt, state.opt_state)
+        new_state = state.replace(params=new_params, opt_state=new_opt,
+                                  step=state.step + 1)
+        return new_state, total, losses, ok, ovf
+
+    return step
+
+
+def make_dp_spatial_grad_fn(cfg: Config, mesh: Mesh, shard_caps,
+                            halo_caps, dp_axis: str = "dp",
+                            sp_axis: str = "sp"):
+    """Loss + exact mean-over-buildings gradient on a 2-D dp x sp mesh.
+
+    Composition of the two parallelism dimensions (SURVEY.md section
+    2.7 data parallelism x section 5 spatial scaling): the batch's
+    buildings are sharded over ``dp_axis`` (one building per dp group),
+    and each building's voxels are spatially sharded over ``sp_axis``
+    with halo exchange exactly as in :func:`make_spatial_grad_fn`. The
+    reference can express neither (single-GPU IMS_PER_BATCH=1,
+    /root/reference/tools/train_net_sparse3d.py:52-57).
+
+    Gradient correctness: each device differentiates its dp group's
+    building loss scaled by 1/(n_sp * n_dp); shard_map's varying-axis
+    autodiff turns the cotangent of the replicated params into a psum
+    over BOTH mesh axes (transpose of the implicit pbroadcast), so the
+    per-device gradient is already the exact mean over buildings — n_sp
+    identical head copies per group at 1/(n_sp*n_dp) each, summed over
+    the n_dp groups. Verified against averaged single-device grads in
+    tests/test_spatial.py.
+
+    ``batch`` carries a leading dp axis of size n_dp on every leaf.
+    Returns grad_fn(params, batch, rng) -> (total, losses, grads,
+    halo_overflow) with batch-mean values (identical on every device).
+    """
+    from detection_3d_tpu.models.structures import Boxes3D
+
+    n_sp = mesh.shape[sp_axis]
+    n_dp = mesh.shape[dp_axis]
+    fpn = SparseFPN(cfg, sp_axis=sp_axis)
+
+    def local_loss(params, batch, rng):
+        spyr = build_spatial_pyramid(cfg, batch["points"], batch["feats"],
+                                     batch["points_valid"], sp_axis, n_sp,
+                                     shard_caps, halo_caps)
+        table0 = spyr["tables"][0]
+        table0 = table0.with_feats(
+            table0.feats.astype(jnp.dtype(cfg.compute_dtype)))
+        rpn_maps, roi_maps = fpn.apply(
+            {"params": params["params"]["backbone"]}, table0, spyr)
+        global_rpn, global_roi = _gather_global_maps(cfg, spyr, rpn_maps,
+                                                     roi_maps, sp_axis)
+        gt = Boxes3D(batch["gt_boxes"], batch["gt_valid"])
+        losses = _heads_train_loss(cfg, params, global_rpn, global_roi,
+                                   gt, batch["gt_labels"], rng)
+        total = sum(jax.tree_util.tree_leaves(losses))
+        return total / (n_sp * n_dp), (losses, spyr["halo_overflow"])
+
+    def sharded_grad(params, batch, rng):
+        sq = jax.tree.map(lambda a: a[0], batch)   # this group's building
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(dp_axis))
+        (scaled, (losses, ovf)), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(params, sq, rng)
+        # grads are already psum'd over dp x sp by the vma transpose;
+        # recover the batch-mean loss values explicitly
+        total = jax.lax.pmean(scaled * n_sp * n_dp, dp_axis)
+        losses = jax.tree.map(lambda l: jax.lax.pmean(l, dp_axis), losses)
+        return jax.tree.map(lambda a: jnp.asarray(a)[None],
+                            (total, losses, grads, ovf))
+
+    fn = shard_map(sharded_grad, mesh=mesh,
+                   in_specs=(P(), P(dp_axis), P()),
+                   out_specs=P((dp_axis, sp_axis)))
+
+    def grad_fn(params, batch, rng):
+        total, losses, grads, ovf = fn(params, batch, rng)
+        return (total[0], jax.tree.map(lambda a: a[0], losses),
+                jax.tree.map(lambda a: a[0], grads), jnp.any(ovf))
+
+    return grad_fn
+
+
+def make_dp_spatial_train_step(cfg: Config, mesh: Mesh, tx, shard_caps,
+                               halo_caps, dp_axis: str = "dp",
+                               sp_axis: str = "sp"):
+    """dp x sp training step (see make_dp_spatial_grad_fn). NaN-gated
+    full-state transition like the single-device step
+    (engine/trainer.py). ``batch`` leaves carry a leading dp axis.
+    """
+    import optax
+
+    grad_fn = make_dp_spatial_grad_fn(cfg, mesh, shard_caps, halo_caps,
+                                      dp_axis, sp_axis)
 
     @jax.jit
     def step(state, batch, rng):

@@ -118,3 +118,15 @@ def test_boxcoder_yaw_wrap():
     # raw diff -3.0 wraps into [-pi/2, pi/2)
     assert -PI / 2 <= enc[6] < PI / 2
     np.testing.assert_allclose(enc[6], -3.0 + PI, atol=1e-5)
+
+
+def test_standard_to_yx_zb_np_parity():
+    """The numpy twin used by host-side scene generation must match the
+    jax op bit-for-bit (data/synthetic.py standard_to_yx_zb_np)."""
+    from detection_3d_tpu.data.synthetic import standard_to_yx_zb_np
+    rng = np.random.RandomState(7)
+    boxes = rng.uniform(-5, 5, (64, 7)).astype(np.float32)
+    boxes[:, 3:6] = np.abs(boxes[:, 3:6]) + 0.1
+    ref = np.asarray(standard_to_yx_zb(jnp.asarray(boxes)))
+    got = standard_to_yx_zb_np(boxes).astype(np.float32)
+    np.testing.assert_allclose(got, ref, atol=1e-6)

@@ -140,3 +140,14 @@ class TestMetricLogger:
         ml.update(loss=3.0)
         s = str(ml)
         assert "loss" in s and "2.0000" in s  # global avg of [1,3]
+
+
+def test_cycle_pad_shorter_than_k():
+    """Regression: scan-chunk padding must cycle when the pad exceeds the
+    scene count (4 scenes, scan_steps=10 crashed lax.scan with leading
+    axes 8 vs 10)."""
+    from detection_3d_tpu.engine.trainer import cycle_pad
+    assert cycle_pad([0, 1, 2, 3], 10) == [0, 1, 2, 3, 0, 1, 2, 3, 0, 1]
+    assert cycle_pad([0, 1, 2], 2) == [0, 1, 2, 0]
+    assert cycle_pad([5], 4) == [5, 5, 5, 5]
+    assert cycle_pad([0, 1], 2) == [0, 1]

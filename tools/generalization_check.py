@@ -25,12 +25,18 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def gen_config(epochs: int = 60, base_lr: float = 0.01):
+def gen_config(epochs: int = 60, base_lr: float = 0.01,
+               wide: bool = False):
     from detection_3d_tpu.config import (CapacityConfig, Config,
                                          Sparse3DConfig)
     from detection_3d_tpu.config.defaults import (ROIConfig, RPNConfig,
                                                   SolverConfig)
 
+    # ``wide`` scales widths toward the reference 6c set
+    # (6c_Fpn4321_bs1_lr5.yaml: nPlanesFront 32..256, OUT_CHANNELS 128,
+    # nPlaneMap 128, MLP_HEAD_DIM 512): the r4 50-scene gate at the thin
+    # widths UNDERFIT its own train split (AP 0.256 at loss plateau) —
+    # capacity, not optimization, was the binding constraint.
     # scenes reach ~20 m x 25 vox/m = 500 < 1024; height 3.2 m -> 80 < 128
     return Config(
         classes=("background", "wall", "door", "window", "ceiling",
@@ -38,10 +44,11 @@ def gen_config(epochs: int = 60, base_lr: float = 0.01):
         sparse3d=Sparse3DConfig(
             voxel_scale=25,
             voxel_full_scale=(1024, 1024, 128),
-            nplanes_front=(16, 32, 32, 64, 64),
+            nplanes_front=((32, 64, 64, 128, 128) if wide
+                           else (16, 32, 32, 64, 64)),
             kernels=((2, 2, 2),) * 4,
             strides=((2, 2, 2),) * 4,
-            nplane_map=32,
+            nplane_map=64 if wide else 32,
         ),
         rpn=RPNConfig(
             rpn_scales_from_top=(3, 2, 1),
@@ -62,9 +69,9 @@ def gen_config(epochs: int = 60, base_lr: float = 0.01):
         roi=ROIConfig(
             pooler_scales_from_top=(3, 2),
             batch_size_per_image=256, detections_per_img=100,
-            mlp_head_dim=128,
+            mlp_head_dim=256 if wide else 128,
         ),
-        backbone_out_channels=32,
+        backbone_out_channels=128 if wide else 32,
         # decay late (75% / 92% of the run): the r3 first attempt decayed
         # at 2/3 of a 60-epoch run with the loss still falling and froze
         # at mean AP 0.05
@@ -92,6 +99,13 @@ def main():
                     help="train steps per device call (lax.scan) - "
                     "amortizes the host round trip")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--wide", action="store_true",
+                    help="reference-width model (nPlanesFront 32..128, "
+                    "OUT_CHANNELS 128) — the thin widths underfit")
+    ap.add_argument("--resident", action="store_true",
+                    help="device-resident cached-metadata training "
+                    "(Trainer.train_resident): pack each scene's pyramid "
+                    "once, train by indexing the stacked device dataset")
     ap.add_argument("--resume", action="store_true",
                     help="skip training, evaluate the saved checkpoint")
     ap.add_argument("--eval-train", type=int, default=10, metavar="K",
@@ -113,7 +127,7 @@ def main():
     from detection_3d_tpu.evaluation.detection_eval import save_results
     from detection_3d_tpu.utils.logger import setup_logger
 
-    cfg = gen_config(epochs=args.epochs, base_lr=args.lr)
+    cfg = gen_config(epochs=args.epochs, base_lr=args.lr, wide=args.wide)
     logger = setup_logger("generalization")
 
     # disjoint seed ranges: train [0, N), held-out [10000, 10000 + M)
@@ -141,6 +155,9 @@ def main():
             state = state.replace(params=ck["params"],
                                   opt_state=ck["opt_state"],
                                   step=ck["step"])
+    elif args.resident:
+        state = trainer.train_resident(train_scenes, state,
+                                       epochs=args.epochs)
     else:
         state = trainer.train(train_scenes, state, epochs=args.epochs)
 
