@@ -103,6 +103,9 @@ class ROIConfig:
     score_thresh: float = 0.05
     nms: float = 0.45
     nms_aug_thickness_y_z: Tuple[float, float] = (0.2, 0.2)
+    # static per-class NMS keep cap; the reference's boxlist_nms_3d
+    # defaults max_proposals<=0 to 500 (boxlist_ops_3d.py:38-39)
+    nms_post_cap: int = 500
     detections_per_img: int = 200
     label_aug_thickness_y_tar_anc: Tuple[float, float] = (0.4, 0.4)
     label_aug_thickness_z_tar_anc: Tuple[float, float] = (0.6, 0.6)
@@ -284,6 +287,14 @@ class Config:
         assert not (self.rpn_only and self.eval_in_train), (
             "rpn_only and eval_in_train are mutually exclusive: the "
             "rpn-only train path has no ROI detections to evaluate")
+        # The global top-K in roi postprocess draws from
+        # (num_fg_classes * nms_post_cap) per-class NMS survivors; the
+        # cap must leave enough rows to fill the detection budget.
+        n_fg = max(len(self.classes) - 1, 1)
+        assert n_fg * self.roi.nms_post_cap >= self.roi.detections_per_img, (
+            f"roi.nms_post_cap={self.roi.nms_post_cap} too small: "
+            f"{n_fg} fg classes x cap < "
+            f"detections_per_img={self.roi.detections_per_img}")
         return self
 
     def anchor_strides(self):

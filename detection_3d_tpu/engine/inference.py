@@ -43,6 +43,10 @@ def make_predict_fn(cfg: Config, model: Optional[SparseRCNN] = None,
                  reference's host-side SCN Metadata role) — the device
                  runs only dense math.
     """
+    if packed not in (False, True, "table", "pyramid"):
+        raise ValueError(
+            f"packed={packed!r}: expected False, True, 'table' or "
+            "'pyramid'")
     model = model or SparseRCNN(cfg)
 
     @jax.jit
@@ -89,6 +93,9 @@ def run_inference(cfg: Config, params, scenes: Iterable[Dict],
           end-to-end on host-core-starved machines where the pyramid
           pack cannot be hidden.
     """
+    if pack_mode not in ("pyramid", "table"):
+        raise ValueError(
+            f"pack_mode={pack_mode!r}: expected 'pyramid' or 'table'")
     scenes = list(scenes)
     preds = []
     gts = []

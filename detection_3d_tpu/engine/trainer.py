@@ -428,10 +428,17 @@ class Trainer:
         total_steps = epochs * n
         order = np.concatenate([shuffle_rng.permutation(n)
                                 for _ in range(epochs)]).astype(np.int32)
-        order = np.concatenate(
-            [order, order[:(-len(order)) % chunk]]) if len(order) % chunk \
-            else order
+        # cycle_pad handles pad > len(order) (e.g. 4 scenes x 10 epochs
+        # with chunk=100); a plain tail-slice pad would leave len(order)
+        # short of a chunk multiple and floor-truncate away ALL steps
+        order = np.asarray(cycle_pad(list(order), chunk), dtype=np.int32)
         n_chunks = len(order) // chunk
+        assert n_chunks * chunk >= total_steps
+        if self.logger and len(order) > total_steps:
+            self.logger.info(
+                "train_resident: padded %d -> %d steps (chunk %d); the "
+                "extra %d steps cycle the shuffled order",
+                total_steps, len(order), chunk, len(order) - total_steps)
         t0 = time.time()
         done = 0
         skipped = 0
@@ -447,11 +454,12 @@ class Trainer:
             mean_loss = float(np.nanmean(np.where(oks, totals, np.nan)))
             if self.logger:
                 dt = (time.time() - t0) / done
-                eta = dt * (total_steps - done)
+                eta = dt * max(total_steps - done, 0)
+                shown = min(done, total_steps)
                 self.logger.info(
                     "resident step %d/%d epoch %d loss %.4f "
                     "(chunk mean %.4f) time %.4fs/step eta %.0fs%s",
-                    done, total_steps, done // n, float(totals[-1]),
+                    shown, total_steps, shown // n, float(totals[-1]),
                     mean_loss, dt, eta,
                     f" SKIPPED {skipped} non-finite" if skipped else "")
             if np.isfinite(mean_loss) and mean_loss < self.min_loss:

@@ -234,8 +234,8 @@ def postprocess(cfg: Config, proposals: Boxes3D, class_logits,
     dec = decoded.reshape(r, num_classes, 7)
 
     ay, az = cfg.roi.nms_aug_thickness_y_z
-    post_cap = min(500, r)  # roi_post max_proposals=-1 -> cap 500
-                            # (boxlist_ops_3d.py:38-39)
+    post_cap = min(cfg.roi.nms_post_cap, r)  # roi_post max_proposals=-1
+    # -> cap 500 by default (boxlist_ops_3d.py:38-39); see Config.validate
 
     def per_class(boxes_j, scores_j):
         valid_j = proposals.valid & (scores_j > cfg.roi.score_thresh)

@@ -73,3 +73,21 @@ OUTPUT_DIR: "RES/x"
 
 def test_config_hashable():
     hash(Config())  # static jit arg requirement
+
+
+def test_nms_post_cap_validation():
+    """roi.nms_post_cap must leave (num_fg * cap) >= detections_per_img
+    so the global top-K can fill the detection budget (VERDICT r4 #8:
+    the 500 constant moved from roi_head.postprocess into Config)."""
+    import dataclasses
+
+    import pytest
+
+    cfg = Config()
+    assert cfg.roi.nms_post_cap == 500
+    cfg.validate()
+    bad = dataclasses.replace(
+        cfg, roi=dataclasses.replace(cfg.roi, nms_post_cap=10,
+                                     detections_per_img=200))
+    with pytest.raises(AssertionError, match="nms_post_cap"):
+        bad.validate()

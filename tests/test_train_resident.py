@@ -54,6 +54,24 @@ def test_packed_step_matches_ingraph(scene):  # noqa: F811
 
 
 @pytest.mark.slow
+def test_train_resident_pad_exceeds_order():
+    """epochs*n < chunk: the shuffled order must be cycle-padded up to a
+    full chunk, not tail-slice-padded (which left len(order) short of a
+    chunk multiple, floor-truncated n_chunks to 0, and returned an
+    UNTRAINED state with no warning)."""
+    cfg = tiny_cfg(output_dir="/tmp/test_resident_c")
+    scenes = [synthetic_building(seed=i, num_points=6000, room=6.0,
+                                 classes=cfg.classes, voxel_scale=20)
+              for i in range(2)]
+    tr = Trainer(cfg, logger=setup_logger("test_resident_pad"))
+    state = tr.init_state(scenes[0], iters_per_epoch=len(scenes))
+    state = tr.train_resident(scenes, state, epochs=3, chunk=20)
+    # all 6 requested steps (plus cycle padding to the 20-step chunk) ran
+    assert int(state.step) >= 6
+    assert np.isfinite(tr.min_loss)
+
+
+@pytest.mark.slow
 def test_train_resident_runs_and_learns():
     cfg = tiny_cfg(output_dir="/tmp/test_resident_b")
     scenes = [synthetic_building(seed=i, num_points=6000, room=6.0,
