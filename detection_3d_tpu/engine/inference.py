@@ -76,13 +76,19 @@ def make_predict_fn(cfg: Config, model: Optional[SparseRCNN] = None,
 def run_inference(cfg: Config, params, scenes: Iterable[Dict],
                   logger=None, evaluate: bool = True,
                   pipelined: bool = False, pack_workers: int = 2,
-                  pack_mode: str = "pyramid", predict_fn=None):
+                  pack_mode: str = "pyramid", predict_fn=None,
+                  timings: Optional[Dict[str, float]] = None):
     """Returns (predictions, eval_result_or_None, seconds_per_building).
 
     With ``pipelined=True`` the serving fast path runs: building N+1's
-    host pack proceeds on a worker thread pool while the device executes
-    building N, mirroring how the reference hides its DataLoader
-    workers' IO. ``pack_mode`` picks the host/device work split:
+    host pack AND its host->device transfer proceed on a worker thread
+    pool while the device executes building N (the workers call
+    jax.device_put, so H2D rides the pipeline too), and the output
+    fetch of building N overlaps the device execution of building N+1
+    (double buffering: dispatch i, then drain i-1). This mirrors how
+    the reference hides its DataLoader workers' IO — but also hides
+    transfer and fetch, which the reference pays synchronously.
+    ``pack_mode`` picks the host/device work split:
       "pyramid" — the full SCN-Metadata-equivalent build (every
           per-scale table + rulebook, C++ packer) rides the loader; the
           device runs only dense math. Lowest device time; needs
@@ -92,6 +98,11 @@ def run_inference(cfg: Config, params, scenes: Iterable[Dict],
           host (~6x cheaper); per-scale metadata builds in-graph. Best
           end-to-end on host-core-starved machines where the pyramid
           pack cannot be hidden.
+
+    ``timings`` (pipelined only): pass a dict to receive the summed
+    per-phase wall-clock attribution across the stream (seconds):
+    wait_pack (pack+H2D not hidden by the pipeline), dispatch (jitted
+    call issue), drain_fetch (device completion + D2H of detections).
     """
     if pack_mode not in ("pyramid", "table"):
         raise ValueError(
@@ -100,6 +111,22 @@ def run_inference(cfg: Config, params, scenes: Iterable[Dict],
     preds = []
     gts = []
     total_t = 0.0
+    cap0 = cfg.caps.scale_caps(cfg.sparse3d.num_scales)[0]
+
+    def record_pred(i, out):
+        boxes, valid, scores, labels, true_num = out
+        if int(true_num) > cap0 and logger:
+            logger.warning(
+                "scene %d: %d voxels exceed the scale-0 capacity %d — "
+                "input subsampled (raise caps.voxel_caps / max_points)",
+                i, int(true_num), cap0)
+        v = np.asarray(valid)
+        preds.append({"boxes": np.asarray(boxes)[v],
+                      "scores": np.asarray(scores)[v],
+                      "labels": np.asarray(labels)[v]})
+        gts.append({"boxes": scenes[i]["gt_boxes"],
+                    "labels": scenes[i]["gt_labels"]})
+
     if pipelined:
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
@@ -115,45 +142,56 @@ def run_inference(cfg: Config, params, scenes: Iterable[Dict],
         predict = predict_fn or make_predict_fn(cfg, packed=pack_mode)
         pool = ThreadPoolExecutor(max_workers=max(1, pack_workers))
 
-        def packed_stream():
-            # bounded look-ahead: a packed full-scale building is large
-            # (~130 MB of rulebooks), so keep at most `pack_workers`+1
-            # in flight
-            q = deque()
-            for j in range(min(pack_workers, len(scenes))):
-                q.append(pool.submit(pack_fn, cfg, scenes[j]))
-            for i in range(len(scenes)):
-                nxt = i + pack_workers
-                if nxt < len(scenes):
-                    q.append(pool.submit(pack_fn, cfg, scenes[nxt]))
-                yield q.popleft().result()
-            pool.shutdown(wait=False)
+        def pack_and_put(scene):
+            # pack on the worker AND push to the device from the worker:
+            # H2D transfer overlaps the device's previous building
+            return jax.device_put(pack_fn(cfg, scene))
 
-        batches = packed_stream()
+        tm = {"wait_pack": 0.0, "dispatch": 0.0, "drain_fetch": 0.0}
+        q = deque()
+        for j in range(min(pack_workers, len(scenes))):
+            q.append(pool.submit(pack_and_put, scenes[j]))
+        pending = None  # (index, out) dispatched but not yet fetched
+        for i in range(len(scenes)):
+            nxt = i + pack_workers
+            if nxt < len(scenes):
+                q.append(pool.submit(pack_and_put, scenes[nxt]))
+            t0 = time.time()
+            batch = q.popleft().result()
+            t1 = time.time()
+            out = predict(params, batch)
+            t2 = time.time()
+            # double buffer: fetch building i-1 while the device (and
+            # the async dispatch queue) works on building i
+            if pending is not None:
+                record_pred(pending[0], pending[1])
+            pending = (i, out)
+            t3 = time.time()
+            tm["wait_pack"] += t1 - t0
+            tm["dispatch"] += t2 - t1
+            tm["drain_fetch"] += t3 - t2
+            if i > 0:
+                total_t += t3 - t0
+        if pending is not None:
+            t0 = time.time()
+            record_pred(pending[0], pending[1])
+            tm["drain_fetch"] += time.time() - t0
+            total_t += time.time() - t0
+        pool.shutdown(wait=False)
+        if timings is not None:
+            timings.update(tm)
     else:
         predict = predict_fn or make_predict_fn(cfg)
-        batches = (pad_scene(cfg, scene) for scene in scenes)
-    for i, batch_np in enumerate(batches):
-        scene = scenes[i]
-        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-        t0 = time.time()
-        boxes, valid, scores, labels, true_num = predict(params, batch)
-        jax.block_until_ready(boxes)
-        dt = time.time() - t0
-        if i > 0:  # skip compile iteration in timing
-            total_t += dt
-        cap0 = cfg.caps.scale_caps(cfg.sparse3d.num_scales)[0]
-        if int(true_num) > cap0 and logger:
-            logger.warning(
-                "scene %d: %d voxels exceed the scale-0 capacity %d — "
-                "input subsampled (raise caps.voxel_caps / max_points)",
-                i, int(true_num), cap0)
-        v = np.asarray(valid)
-        preds.append({"boxes": np.asarray(boxes)[v],
-                      "scores": np.asarray(scores)[v],
-                      "labels": np.asarray(labels)[v]})
-        gts.append({"boxes": scene["gt_boxes"],
-                    "labels": scene["gt_labels"]})
+        for i, scene in enumerate(scenes):
+            batch = {k: jnp.asarray(v)
+                     for k, v in pad_scene(cfg, scene).items()}
+            t0 = time.time()
+            out = predict(params, batch)
+            jax.block_until_ready(out[0])
+            dt = time.time() - t0
+            if i > 0:  # skip compile iteration in timing
+                total_t += dt
+            record_pred(i, out)
 
     sec_per_building = total_t / max(len(scenes) - 1, 1)
     result = None

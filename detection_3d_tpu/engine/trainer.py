@@ -393,6 +393,14 @@ class Trainer:
         (~15-25 MB/scene at the gate config). No eval-in-train or strike
         culling on this path; non-finite steps are skipped by the
         in-step NaN gate and counted.
+
+        Mid-run RESUME: pass a ``state`` whose ``step`` is a chunk
+        multiple (the periodic ``model_resident_last`` checkpoints are
+        saved exactly there) and the loop deterministically re-derives
+        the same shuffled order + rng stream from ``seed`` and skips the
+        already-done chunks — a killed/stalled run continues where its
+        last checkpoint left off (the TPU tunnel here drops for minutes
+        at a time; see tools/generalization_check.py --resume-train).
         """
         from detection_3d_tpu.data.native_packer import pack_pyramid_native
 
@@ -425,6 +433,12 @@ class Trainer:
 
         rng = jax.random.PRNGKey(seed + 123)
         shuffle_rng = np.random.default_rng(seed + 77)
+        start_step = int(state.step)
+        if start_step % chunk:
+            raise ValueError(
+                f"resume step {start_step} is not a multiple of the "
+                f"chunk size {chunk} — resume from a model_resident_last "
+                "checkpoint (saved at chunk boundaries)")
         total_steps = epochs * n
         order = np.concatenate([shuffle_rng.permutation(n)
                                 for _ in range(epochs)]).astype(np.int32)
@@ -440,10 +454,17 @@ class Trainer:
                 "extra %d steps cycle the shuffled order",
                 total_steps, len(order), chunk, len(order) - total_steps)
         t0 = time.time()
-        done = 0
+        start_chunk = start_step // chunk
+        if self.logger and start_chunk:
+            self.logger.info("train_resident: resuming at step %d "
+                             "(chunk %d/%d)", start_step, start_chunk,
+                             n_chunks)
+        done = start_step
         skipped = 0
         for c in range(n_chunks):
-            rng, sub = jax.random.split(rng)
+            rng, sub = jax.random.split(rng)   # keep the stream aligned
+            if c < start_chunk:
+                continue
             idxs = jnp.asarray(order[c * chunk:(c + 1) * chunk])
             state, (totals, losses, oks) = run_chunk(
                 state, idxs, jax.random.split(sub, chunk), data)
@@ -453,7 +474,7 @@ class Trainer:
             skipped += int((~oks).sum())
             mean_loss = float(np.nanmean(np.where(oks, totals, np.nan)))
             if self.logger:
-                dt = (time.time() - t0) / done
+                dt = (time.time() - t0) / max(done - start_step, 1)
                 eta = dt * max(total_steps - done, 0)
                 shown = min(done, total_steps)
                 self.logger.info(
@@ -472,9 +493,10 @@ class Trainer:
                     "params": state.params, "opt_state": state.opt_state,
                     "step": state.step})
         if self.logger:
+            ran = max(done - start_step, 1)
             self.logger.info("train_resident: %d steps in %.1fs "
-                             "(%.4fs/step)", done, time.time() - t0,
-                             (time.time() - t0) / max(done, 1))
+                             "(%.4fs/step)", ran, time.time() - t0,
+                             (time.time() - t0) / ran)
         return state
 
     # -- the loop ----------------------------------------------------------

@@ -108,6 +108,14 @@ def main():
                     "once, train by indexing the stacked device dataset")
     ap.add_argument("--resume", action="store_true",
                     help="skip training, evaluate the saved checkpoint")
+    ap.add_argument("--resume-train", action="store_true",
+                    help="load model_resident_last and CONTINUE training "
+                    "from its step (stall recovery: the TPU tunnel here "
+                    "drops for minutes at a time; pair with "
+                    "tools/watchdog.sh)")
+    ap.add_argument("--chunk", type=int, default=100,
+                    help="lax.scan steps per device call on the "
+                    "resident path")
     ap.add_argument("--eval-train", type=int, default=10, metavar="K",
                     help="also evaluate the first K TRAIN scenes (the "
                     "train/held-out gap separates undertraining from "
@@ -147,7 +155,10 @@ def main():
     trainer.scan_steps = args.scan_steps
     state = trainer.init_state(train_scenes[0],
                                iters_per_epoch=len(train_scenes))
-    if args.resume:
+    if args.resume or args.resume_train:
+        # the last_checkpoint tag points at the newest save; every
+        # resident-path save lands on a chunk boundary, so the loaded
+        # step is always resumable
         ck = trainer.checkpointer.load(
             {"params": state.params, "opt_state": state.opt_state,
              "step": state.step})
@@ -155,9 +166,13 @@ def main():
             state = state.replace(params=ck["params"],
                                   opt_state=ck["opt_state"],
                                   step=ck["step"])
-    elif args.resident:
+            logger.info("resumed at step %d", int(state.step))
+    if args.resume:
+        pass  # evaluate only
+    elif args.resident or args.resume_train:
         state = trainer.train_resident(train_scenes, state,
-                                       epochs=args.epochs)
+                                       epochs=args.epochs,
+                                       chunk=args.chunk)
     else:
         state = trainer.train(train_scenes, state, epochs=args.epochs)
 
