@@ -329,6 +329,42 @@ def main():
               file=sys.stderr)
         assert all(p["boxes"].shape[0] > 0 for p in preds)
 
+    # ---- batched multi-building throughput (one chip) ----
+    # BASELINE config 5 asks for batched multi-building execution: vmap
+    # the packed-table predict over stacked buildings
+    # (engine/inference.make_batch_predict_fn). Reported as buildings/s
+    # next to the latency headline; falls back to the sequential number
+    # if HBM caps the batch at 1 (recorded via batch_throughput_note).
+    from detection_3d_tpu.engine.inference import make_batch_predict_fn
+
+    batch_bps = 1.0 / results["table"]
+    batch_size_used = 1
+    batch_note = ""
+    for B in (2, 4):
+        try:
+            bfn = make_batch_predict_fn(cfg, model, packed="table")
+            # warm/compile on the held-out scene
+            _ = run_inference(cfg, params, [scene] * B, evaluate=False,
+                              pipelined=True, pack_mode="table",
+                              predict_fn=bfn, batch_size=B)
+            t0 = time.time()
+            preds, _, _ = run_inference(cfg, params, stream_scenes,
+                                        evaluate=False, pipelined=True,
+                                        pack_mode="table",
+                                        predict_fn=bfn, batch_size=B)
+            bps = n_stream / (time.time() - t0)
+            print(f"batched stream B={B}: {bps:.3f} buildings/s "
+                  f"({1.0 / bps:.3f}s/building amortized)",
+                  file=sys.stderr)
+            assert all(p["boxes"].shape[0] > 0 for p in preds)
+            if bps > batch_bps:
+                batch_bps, batch_size_used = bps, B
+        except Exception as e:  # noqa: BLE001 — record, don't die
+            batch_note = f"B={B}: {type(e).__name__}: {e}"[:200]
+            print(f"batched stream B={B} failed: {batch_note}",
+                  file=sys.stderr)
+            break
+
     best_mode = min(results, key=results.get)
     e2e = results[best_mode]
     bd = breakdown[best_mode]
@@ -350,6 +386,9 @@ def main():
         "stream_drain_fetch_s": round(bd.get("drain_fetch", 0.0), 4),
         "host_pack_pyramid_s": round(t_pack, 4),
         "host_cpus": os.cpu_count(),
+        "batch_throughput_bps": round(batch_bps, 4),
+        "batch_size": batch_size_used,
+        **({"batch_throughput_note": batch_note} if batch_note else {}),
     }))
 
 

@@ -60,6 +60,8 @@ def _build_library() -> Optional[ctypes.CDLL]:
                                    ctypes.POINTER(ctypes.c_float),
                                    ctypes.POINTER(ctypes.c_float),
                                    ctypes.c_int64]
+            lib.pp_run_table.restype = ctypes.c_int
+            lib.pp_run_table.argtypes = lib.pp_run.argtypes
             lib.pp_last_error.restype = ctypes.c_char_p
             lib.pp_last_error.argtypes = [ctypes.c_void_p]
             lib.pp_destroy.argtypes = [ctypes.c_void_p]
@@ -74,15 +76,8 @@ def native_pack_available() -> bool:
     return _build_library() is not None
 
 
-def pack_pyramid_native(cfg, scene: Dict,
-                        n_threads: int = 8) -> Dict[str, np.ndarray]:
-    """C++ pack_pyramid; numpy fallback if the library is unavailable."""
-    lib = _build_library()
-    if lib is None:
-        from detection_3d_tpu.data.pyramid_packing import pack_pyramid
-        return pack_pyramid(cfg, scene)
-
-    from detection_3d_tpu.data.pyramid_packing import pyramid_pack_spec
+def _run_native(cfg, scene: Dict, lib, n_threads: int,
+                table_only: bool) -> Dict[str, np.ndarray]:
     from detection_3d_tpu.engine.trainer import pad_scene
     from detection_3d_tpu.ops.pallas.gather_conv_kernel import (
         BLOCK, WINDOW, _ALIGN,
@@ -114,8 +109,12 @@ def pack_pyramid_native(cfg, scene: Dict,
         "num": np.empty((), np.int32),
         "true_num": np.empty((), np.int32),
     }
-    for name, (shape, dt) in pyramid_pack_spec(cfg).items():
-        out[name] = np.empty(shape, dt)
+    if not table_only:
+        from detection_3d_tpu.data.pyramid_packing import (
+            pyramid_pack_spec,
+        )
+        for name, (shape, dt) in pyramid_pack_spec(cfg).items():
+            out[name] = np.empty(shape, dt)
 
     caps_a = np.ascontiguousarray(np.asarray(caps, np.int64))
     kern = np.ascontiguousarray(
@@ -137,7 +136,8 @@ def pack_pyramid_native(cfg, scene: Dict,
         for name, arr in out.items():
             lib.pp_set_out(h, name.encode(),
                            arr.ctypes.data_as(ctypes.c_void_p))
-        rc = lib.pp_run(
+        runner = lib.pp_run_table if table_only else lib.pp_run
+        rc = runner(
             h, pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             feats.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), m)
         if rc != 0:
@@ -154,3 +154,28 @@ def pack_pyramid_native(cfg, scene: Dict,
     out["gt_labels"] = batch["gt_labels"]
     out["gt_valid"] = batch["gt_valid"]
     return out
+
+
+def pack_pyramid_native(cfg, scene: Dict,
+                        n_threads: int = 8) -> Dict[str, np.ndarray]:
+    """C++ pack_pyramid; numpy fallback if the library is unavailable."""
+    lib = _build_library()
+    if lib is None:
+        from detection_3d_tpu.data.pyramid_packing import pack_pyramid
+        return pack_pyramid(cfg, scene)
+    return _run_native(cfg, scene, lib, n_threads, table_only=False)
+
+
+def pack_table_native(cfg, scene: Dict,
+                      n_threads: int = 1) -> Dict[str, np.ndarray]:
+    """C++ pack_table (input layer ONLY — sort/dedup-average/quantize).
+
+    Same outputs as data/packing.pack_table, ~7x cheaper than the numpy
+    version on this host (the table-mode serving path's entire
+    per-building host cost). Falls back to numpy transparently.
+    """
+    lib = _build_library()
+    if lib is None:
+        from detection_3d_tpu.data.packing import pack_table
+        return pack_table(cfg, scene)
+    return _run_native(cfg, scene, lib, n_threads, table_only=True)

@@ -51,24 +51,53 @@ def make_predict_fn(cfg: Config, model: Optional[SparseRCNN] = None,
 
     @jax.jit
     def predict(params, batch):
-        pyramid = None
-        if packed == "pyramid":
-            from detection_3d_tpu.data.pyramid_packing import (
-                unpack_pyramid,
-            )
-            table, pyramid = unpack_pyramid(cfg, batch)
-        elif packed == "table":
-            from detection_3d_tpu.data.packing import unpack_table
-            table = unpack_table(cfg, batch)
-        else:
-            if packed:
-                from detection_3d_tpu.data.packing import unpack_batch
-                batch = unpack_batch(cfg, batch)
-            table = voxelize_points(cfg, batch["points"], batch["feats"],
-                                    batch["points_valid"])
-        det = model.apply(params, table, is_train=False, pyramid=pyramid)
-        return (det.boxes, det.valid, det.fields["scores"],
-                det.fields["labels"], table.true_num)
+        return _predict_one(cfg, model, packed, params, batch)
+
+    return predict
+
+
+def _predict_one(cfg, model, packed, params, batch):
+    pyramid = None
+    if packed == "pyramid":
+        from detection_3d_tpu.data.pyramid_packing import unpack_pyramid
+        table, pyramid = unpack_pyramid(cfg, batch)
+    elif packed == "table":
+        from detection_3d_tpu.data.packing import unpack_table
+        table = unpack_table(cfg, batch)
+    else:
+        if packed:
+            from detection_3d_tpu.data.packing import unpack_batch
+            batch = unpack_batch(cfg, batch)
+        table = voxelize_points(cfg, batch["points"], batch["feats"],
+                                batch["points_valid"])
+    det = model.apply(params, table, is_train=False, pyramid=pyramid)
+    return (det.boxes, det.valid, det.fields["scores"],
+            det.fields["labels"], table.true_num)
+
+
+def make_batch_predict_fn(cfg: Config, model: Optional[SparseRCNN] = None,
+                          packed="table"):
+    """Jitted MULTI-building predict: vmap of the per-building forward.
+
+    The reference serves strictly one building per GPU step
+    (launch scripts pin bs=1: /root/reference/sw_4c_fpn432_bs1_lr2.sh);
+    on TPU the padded static-capacity tables stack to a leading batch
+    axis, so throughput serving is one ``jax.vmap`` away — the MXU sees
+    B-times-larger GEMMs at identical per-building rulebook work.
+    Feed with stacked packed dicts (``np.stack`` per key over
+    ``pack_table``/``pack_pyramid`` outputs); every output gains a
+    leading batch axis.
+    """
+    if packed not in (True, "table", "pyramid"):
+        raise ValueError(
+            f"packed={packed!r}: expected True, 'table' or 'pyramid'")
+    model = model or SparseRCNN(cfg)
+
+    @jax.jit
+    def predict(params, stacked):
+        return jax.vmap(
+            lambda b: _predict_one(cfg, model, packed, params, b)
+        )(stacked)
 
     return predict
 
@@ -77,7 +106,8 @@ def run_inference(cfg: Config, params, scenes: Iterable[Dict],
                   logger=None, evaluate: bool = True,
                   pipelined: bool = False, pack_workers: int = 2,
                   pack_mode: str = "pyramid", predict_fn=None,
-                  timings: Optional[Dict[str, float]] = None):
+                  timings: Optional[Dict[str, float]] = None,
+                  batch_size: int = 1):
     """Returns (predictions, eval_result_or_None, seconds_per_building).
 
     With ``pipelined=True`` the serving fast path runs: building N+1's
@@ -103,6 +133,11 @@ def run_inference(cfg: Config, params, scenes: Iterable[Dict],
     per-phase wall-clock attribution across the stream (seconds):
     wait_pack (pack+H2D not hidden by the pipeline), dispatch (jitted
     call issue), drain_fetch (device completion + D2H of detections).
+
+    ``batch_size`` > 1 (pipelined only) serves buildings in vmapped
+    batches (make_batch_predict_fn): workers pack+stack ``batch_size``
+    buildings per unit, the device runs one batched forward per unit.
+    Throughput mode — per-unit latency grows, buildings/s grows.
     """
     if pack_mode not in ("pyramid", "table"):
         raise ValueError(
@@ -136,50 +171,77 @@ def run_inference(cfg: Config, params, scenes: Iterable[Dict],
                 pack_pyramid_native as pack_fn,
             )
         else:
-            from detection_3d_tpu.data.packing import pack_table
-            pack_fn = pack_table
+            from detection_3d_tpu.data.native_packer import (
+                pack_table_native as pack_fn,
+            )
 
-        predict = predict_fn or make_predict_fn(cfg, packed=pack_mode)
+        B = max(1, batch_size)
+        units = [list(range(i, min(i + B, len(scenes))))
+                 for i in range(0, len(scenes), B)]
+        if predict_fn is not None:
+            predict = predict_fn
+        elif B > 1:
+            predict = make_batch_predict_fn(cfg, packed=pack_mode)
+        else:
+            predict = make_predict_fn(cfg, packed=pack_mode)
         pool = ThreadPoolExecutor(max_workers=max(1, pack_workers))
 
-        def pack_and_put(scene):
+        def pack_and_put(unit):
             # pack on the worker AND push to the device from the worker:
             # H2D transfer overlaps the device's previous building
-            return jax.device_put(pack_fn(cfg, scene))
+            if B == 1:
+                return jax.device_put(pack_fn(cfg, scenes[unit[0]]))
+            packs = [pack_fn(cfg, scenes[j]) for j in unit]
+            if len(packs) < B:  # pad the tail to the compiled batch
+                packs += [packs[-1]] * (B - len(packs))
+            return jax.device_put(
+                {k: np.stack([p[k] for p in packs]) for k in packs[0]})
+
+        def record_unit(unit, out):
+            if B == 1:
+                record_pred(unit[0], out)
+            else:
+                arrs = [np.asarray(a) for a in out]
+                for bi, si in enumerate(unit):
+                    record_pred(si, tuple(a[bi] for a in arrs))
 
         tm = {"wait_pack": 0.0, "dispatch": 0.0, "drain_fetch": 0.0}
         q = deque()
-        for j in range(min(pack_workers, len(scenes))):
-            q.append(pool.submit(pack_and_put, scenes[j]))
-        pending = None  # (index, out) dispatched but not yet fetched
-        for i in range(len(scenes)):
+        for j in range(min(pack_workers, len(units))):
+            q.append(pool.submit(pack_and_put, units[j]))
+        pending = None  # (unit, out) dispatched but not yet fetched
+        n_timed = 0
+        for i in range(len(units)):
             nxt = i + pack_workers
-            if nxt < len(scenes):
-                q.append(pool.submit(pack_and_put, scenes[nxt]))
+            if nxt < len(units):
+                q.append(pool.submit(pack_and_put, units[nxt]))
             t0 = time.time()
             batch = q.popleft().result()
             t1 = time.time()
             out = predict(params, batch)
             t2 = time.time()
-            # double buffer: fetch building i-1 while the device (and
-            # the async dispatch queue) works on building i
+            # double buffer: fetch unit i-1 while the device (and the
+            # async dispatch queue) works on unit i
             if pending is not None:
-                record_pred(pending[0], pending[1])
-            pending = (i, out)
+                record_unit(pending[0], pending[1])
+            pending = (units[i], out)
             t3 = time.time()
             tm["wait_pack"] += t1 - t0
             tm["dispatch"] += t2 - t1
             tm["drain_fetch"] += t3 - t2
             if i > 0:
                 total_t += t3 - t0
+                n_timed += len(units[i])
         if pending is not None:
             t0 = time.time()
-            record_pred(pending[0], pending[1])
+            record_unit(pending[0], pending[1])
             tm["drain_fetch"] += time.time() - t0
-            total_t += time.time() - t0
+            if len(units) > 1:
+                total_t += time.time() - t0
         pool.shutdown(wait=False)
         if timings is not None:
             timings.update(tm)
+        sec_per_building = total_t / max(n_timed, 1)
     else:
         predict = predict_fn or make_predict_fn(cfg)
         for i, scene in enumerate(scenes):
@@ -192,8 +254,8 @@ def run_inference(cfg: Config, params, scenes: Iterable[Dict],
             if i > 0:  # skip compile iteration in timing
                 total_t += dt
             record_pred(i, out)
+        sec_per_building = total_t / max(len(scenes) - 1, 1)
 
-    sec_per_building = total_t / max(len(scenes) - 1, 1)
     result = None
     if evaluate:
         aug = {"target_Y": cfg.test.eval_aug_thickness_y_tar_anc[0],

@@ -484,6 +484,20 @@ int pp_run(void* h, const float* pts, const float* feats, int64_t m) {
   return 0;
 }
 
+// Table-only pack: just the input layer (sort + dedup-average +
+// quantize, data/packing.pack_table twin). The per-scale metadata then
+// builds in-graph ("table" serving mode) — this is the host's entire
+// per-building cost on that path, so it must be far under device time.
+// Needs only the vox/res_q/rgb_q/nrm_q/num/true_num outputs set.
+int pp_run_table(void* h, const float* pts, const float* feats,
+                 int64_t m) {
+  auto& p = *(Packer*)h;
+  p.error.clear();
+  Table t0;
+  if (!build_base(p, pts, feats, m, t0)) return 1;
+  return 0;
+}
+
 void pp_destroy(void* h) { delete (Packer*)h; }
 
 }  // extern "C"

@@ -48,3 +48,19 @@ def test_native_overflow_parity():
     for k in sorted(want):
         np.testing.assert_array_equal(np.asarray(got[k]),
                                       np.asarray(want[k]), err_msg=k)
+
+
+def test_native_table_only_matches_numpy_bitexact():
+    """pp_run_table (input layer only) == data/packing.pack_table."""
+    from detection_3d_tpu.data.native_packer import pack_table_native
+    from detection_3d_tpu.data.packing import pack_table
+
+    cfg = small_config()
+    scene = synthetic_building(seed=5, num_points=20_000, room=8.0,
+                               voxel_scale=cfg.sparse3d.voxel_scale)
+    want = pack_table(cfg, scene)
+    got = pack_table_native(cfg, scene)
+    assert set(got) == set(want)
+    for k in sorted(want):
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(want[k]), err_msg=k)

@@ -137,6 +137,40 @@ def test_packed_pyramid_predict_matches_table_path():
 
 
 @pytest.mark.slow
+def test_batch_predict_matches_sequential():
+    """vmapped multi-building predict == per-building predict on the
+    same stacked packed tables (make_batch_predict_fn)."""
+    import functools
+    from detection_3d_tpu.engine.inference import (
+        make_batch_predict_fn, make_predict_fn,
+    )
+    from detection_3d_tpu.models.detector import SparseRCNN
+    from detection_3d_tpu.data.packing import unpack_table
+
+    cfg, scene0 = _cfg_scene()
+    scene1 = synthetic_building(seed=21, num_points=15_000, room=7.0,
+                                voxel_scale=cfg.sparse3d.voxel_scale)
+    model = SparseRCNN(cfg)
+    packs = [pack_table(cfg, s) for s in (scene0, scene1)]
+    table = unpack_table(cfg, {k: jnp.asarray(v)
+                               for k, v in packs[0].items()})
+    params = jax.jit(functools.partial(model.init, is_train=False))(
+        jax.random.PRNGKey(0), table)
+
+    p_one = make_predict_fn(cfg, model, packed="table")
+    p_batch = make_batch_predict_fn(cfg, model, packed="table")
+    stacked = {k: jnp.asarray(np.stack([p[k] for p in packs]))
+               for k in packs[0]}
+    out_b = p_batch(params, stacked)
+    for i, p in enumerate(packs):
+        out_1 = p_one(params, {k: jnp.asarray(v) for k, v in p.items()})
+        for a, b in zip(out_1, out_b):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b)[i],
+                                       atol=1e-5, rtol=1e-5,
+                                       err_msg=f"building {i}")
+
+
+@pytest.mark.slow
 def test_pipelined_inference_matches_default():
     """run_inference(pipelined=True) (C++ pack + packed-pyramid predict,
     threaded look-ahead) must reproduce the default path's detections
