@@ -380,9 +380,40 @@ def synthetic_varied_building(seed: int = 0, num_points: int = 35_000,
     boxes_shifted = boxes_std.copy()
     boxes_shifted[:, :3] -= shift / voxel_scale
     gt_yx_zb = standard_to_yx_zb_np(boxes_shifted)
+    sym = [name2lab[n] for n in ("ceiling", "floor") if n in name2lab]
+    gt_yx_zb = _canonicalize_symmetric(gt_yx_zb, labels, sym)
     return {"points": scaled.astype(np.float32), "feats": feats,
             "gt_boxes": gt_yx_zb.astype(np.float32), "gt_labels": labels,
             "n_rooms": len(active)}
+
+
+def _canonicalize_symmetric(yx_zb, labels, sym_labels):
+    """set_yaw_zero semantics for ROTATED buildings.
+
+    The reference's data prep zeroes the yaw of symmetric classes
+    (ceiling/floor/room) whose yaw is a multiple of pi/2, swapping sizes
+    for odd quarter turns (suncg_utils/suncg_dataset.py:109,
+    bbox3d_ops.py set_yaw_zero; mirrored for real data in
+    data/suncg._set_yaw_zero). A globally-rotated building has slab yaws
+    of gyaw - pi/2 — without the quarter-turn re-expression the RPN yaw
+    gate (|dif| <= 0.7, matcher.py yaw_diff_constrain) kills every slab
+    anchor and slabs survive on low-quality rescue alone. Generalize:
+    wrap the yaw into (-pi/4, pi/4] by quarter turns, swapping the xy
+    sizes on odd turns — a lossless re-expression of the same box.
+    """
+    b = np.asarray(yx_zb).copy()
+    lab = np.asarray(labels)
+    if b.shape[0] == 0 or not sym_labels:
+        return b
+    sel = np.isin(lab, np.asarray(sym_labels, lab.dtype))
+    yaw = b[:, 6]
+    k = np.round(yaw / (np.pi / 2)).astype(int)
+    new_yaw = yaw - k * (np.pi / 2)
+    swap = sel & (k % 2 != 0)
+    y_sz, x_sz = b[:, 3].copy(), b[:, 4].copy()
+    b[swap, 3], b[swap, 4] = x_sz[swap], y_sz[swap]
+    b[sel, 6] = new_yaw[sel]
+    return b
 
 
 def _attach_opening(pieces, ob):

@@ -20,8 +20,15 @@ from detection_3d_tpu.models.backbone import SparseFPN, build_pyramid
 from detection_3d_tpu.models.detector import voxelize_points
 from detection_3d_tpu.parallel.spatial import spatial_fpn_apply
 
-# shard counts are parametrized per test: 2 = smoke tier, 4 = slow
-# (VERDICT r4 weak-3: the 4-shard cases cost >20s each on this host)
+# The whole module is slow-tier: every test compiles a shard_map
+# program over the 8-device CPU mesh, ~60-120s of trace+compile EACH on
+# this 1-CPU host even with a warm persistent cache (measured r5: the
+# two cheapest tests = 184s). Fast-tier multi-chip coverage comes from
+# __graft_entry__.dryrun_multichip(8) (driver-run every round: dp8 AND
+# dp2 x sp4 composed steps) + tests/test_parallel.py; this module is
+# the deep parity suite behind them.
+pytestmark = pytest.mark.slow
+
 SHARD_CAPS = (2048, 1024, 512)
 HALO_CAPS = (512, 128, 32)   # Y_s * Z_s: exact upper bound
 

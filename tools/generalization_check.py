@@ -52,7 +52,17 @@ def gen_config(epochs: int = 60, base_lr: float = 0.01,
         ),
         rpn=RPNConfig(
             rpn_scales_from_top=(3, 2, 1),
-            rpn_3d_2d_selector=(0, 1, 2, 3, 4, 5),
+            # anchor->map pairing (r5, from tools/diag_anchor_coverage):
+            # door/window ride the FINEST 3D map (8 cm sites — at the r4
+            # 32 cm placement window best-quality capped at p50 0.48 <
+            # fg 0.55, so windows trained on rescue anchors only and
+            # never fired); slabs ride the 32 cm 3D map whose sites
+            # carry REAL z, so ceiling anchors sit at ceiling height
+            # (the reference parks slabs on z=0 BEV sites and ceilings
+            # survive on low-quality rescue alone — its weakest link,
+            # not a behavior to copy). Map order: 0..2 = 3D scales
+            # (8/16/32 cm), 3..5 = their BEV copies.
+            rpn_3d_2d_selector=(0, 0, 0, 3, 2, 5),
             # class-matched anchors (see tools/overfit_check.py rationale;
             # reference 6c set 6c_Fpn4321_bs1_lr5.yaml ANCHOR_SIZES_3D)
             anchor_sizes_3d=((0.4, 1.5, 2.7),    # wall pieces
