@@ -260,7 +260,7 @@ def main():
         jax.profiler.start_trace(trace_dir)
         for _ in range(iters):
             out = predict(params, batch)
-        np.asarray(out[2])  # host fetch genuinely drains the device queue
+        np.asarray(out[0])  # host fetch genuinely drains the device queue
         jax.profiler.stop_trace()
         dev = tpu_device_time(trace_dir)
         if dev > 0:

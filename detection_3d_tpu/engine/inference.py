@@ -29,6 +29,10 @@ def make_predict_fn(cfg: Config, model: Optional[SparseRCNN] = None,
                     packed=False):
     """Jitted per-building predict.
 
+    Returns ``(packed_out, true_num)``: ``packed_out`` is (K, 10) f32
+    ``[boxes7 | score | label | valid]`` — one fused output buffer so
+    the serving fetch is 2 D2H round trips, not 5.
+
     ``packed`` selects the input form:
       False    — raw f32 batch dict (pad_scene);
       True     — quantized point dict (data/packing.pack_scene): 4x less
@@ -71,8 +75,16 @@ def _predict_one(cfg, model, packed, params, batch):
         table = voxelize_points(cfg, batch["points"], batch["feats"],
                                 batch["points_valid"])
     det = model.apply(params, table, is_train=False, pyramid=pyramid)
-    return (det.boxes, det.valid, det.fields["scores"],
-            det.fields["labels"], table.true_num)
+    # fuse the outputs into ONE (K, 10) array [boxes7|score|label|valid]
+    # plus the true_num scalar: on the tunneled TPU backend every output
+    # buffer is a separate D2H round trip, and the fetch rides the
+    # serving pipeline's critical path (2 RPCs/building instead of 5)
+    packed_out = jnp.concatenate(
+        [det.boxes,
+         det.fields["scores"][:, None],
+         det.fields["labels"].astype(jnp.float32)[:, None],
+         det.valid.astype(jnp.float32)[:, None]], axis=-1)
+    return packed_out, table.true_num
 
 
 def make_batch_predict_fn(cfg: Config, model: Optional[SparseRCNN] = None,
@@ -149,16 +161,17 @@ def run_inference(cfg: Config, params, scenes: Iterable[Dict],
     cap0 = cfg.caps.scale_caps(cfg.sparse3d.num_scales)[0]
 
     def record_pred(i, out):
-        boxes, valid, scores, labels, true_num = out
+        packed_out, true_num = out
         if int(true_num) > cap0 and logger:
             logger.warning(
                 "scene %d: %d voxels exceed the scale-0 capacity %d — "
                 "input subsampled (raise caps.voxel_caps / max_points)",
                 i, int(true_num), cap0)
-        v = np.asarray(valid)
-        preds.append({"boxes": np.asarray(boxes)[v],
-                      "scores": np.asarray(scores)[v],
-                      "labels": np.asarray(labels)[v]})
+        a = np.asarray(packed_out)
+        v = a[:, 9] > 0.5
+        preds.append({"boxes": a[v, :7],
+                      "scores": a[v, 7],
+                      "labels": a[v, 8].astype(np.int32)})
         gts.append({"boxes": scenes[i]["gt_boxes"],
                     "labels": scenes[i]["gt_labels"]})
 

@@ -207,10 +207,10 @@ def test_pipelined_inference_matches_default():
     for sc in scenes:
         b = {k: jnp.asarray(v)
              for k, v in pack_pyramid_native(cfg, sc).items()}
-        boxes, valid, scores, labels, _ = predict(params, b)
-        v = np.asarray(valid)
-        want.append({"boxes": np.asarray(boxes)[v],
-                     "scores": np.asarray(scores)[v]})
+        packed_out, _ = predict(params, b)
+        a = np.asarray(packed_out)
+        v = a[:, 9] > 0.5
+        want.append({"boxes": a[v, :7], "scores": a[v, 7]})
 
     preds_b, _, _ = run_inference(cfg, params, scenes, pipelined=True,
                                   evaluate=False)

@@ -138,8 +138,10 @@ def main():
 
     # --- final detections -------------------------------------------------
     predict = make_predict_fn(cfg, model)
-    boxes, valid, scores, labels = predict(state.params, batch)
-    v = np.asarray(valid)
+    packed_out, _ = predict(state.params, batch)
+    a = np.asarray(packed_out)
+    boxes, scores, labels = a[:, :7], a[:, 7], a[:, 8]
+    v = a[:, 9] > 0.5
     print("detections:", v.sum())
     print("det scores:", np.round(np.asarray(scores)[v][:10], 3))
     print("det labels:", np.asarray(labels)[v][:10])

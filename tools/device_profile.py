@@ -48,13 +48,13 @@ def main():
         jax.random.PRNGKey(0), table0)
     predict = make_predict_fn(cfg, model)
     out = predict(params, batch)
-    np.asarray(out[2])  # force compile + run
+    np.asarray(out[0])  # force compile + run
 
     trace = "/tmp/devprof"
     shutil.rmtree(trace, ignore_errors=True)
     jax.profiler.start_trace(trace)
     out = predict(params, batch)
-    np.asarray(out[2])
+    np.asarray(out[0])
     jax.profiler.stop_trace()
 
     import glob

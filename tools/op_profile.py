@@ -90,7 +90,7 @@ def main():
 
         def run():
             out = predict(params, batch)
-            np.asarray(out[2])
+            np.asarray(out[0])
 
     run()  # compile
     d = "/tmp/op_profile_trace"
