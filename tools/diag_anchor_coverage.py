@@ -121,6 +121,7 @@ def main(seeds=(0, 1, 2, 3), verbose=True):
               f"{np.percentile(best, 10):11.3f} "
               f"{np.percentile(best, 50):6.3f} "
               f"{np.percentile(best, 90):6.3f}")
+    return per_class
 
 
 if __name__ == "__main__":
