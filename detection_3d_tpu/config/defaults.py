@@ -263,6 +263,17 @@ class Config:
         assert len(self.rpn.anchor_sizes_3d) == \
             len(self.rpn.rpn_3d_2d_selector) == len(self.rpn.use_yaws), (
                 "one anchor size / use_yaws entry per SELECTED rpn map")
+        if len(set(self.rpn.rpn_3d_2d_selector)) != \
+                len(self.rpn.rpn_3d_2d_selector):
+            # the RPN head computes logits from map features alone
+            # (weights shared across levels, rpn_sparse3d.py:97-107):
+            # two anchor types on the same map would get byte-identical
+            # objectness/regression with conflicting targets and train
+            # to garbage (r5 gate run 1)
+            raise ValueError(
+                f"rpn_3d_2d_selector={self.rpn.rpn_3d_2d_selector} "
+                "repeats a map: anchor types on the same map are "
+                "indistinguishable to the shared RPN head")
         assert len(self.rpn.yaws) == len(self.rpn.ratios)
         assert self.sparse3d.num_scales == len(self.sparse3d.strides) + 1
         # With separate_classes but a single (shared) RPN, groups >= 1

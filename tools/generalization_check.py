@@ -53,16 +53,26 @@ def gen_config(epochs: int = 60, base_lr: float = 0.01,
         rpn=RPNConfig(
             rpn_scales_from_top=(3, 2, 1),
             # anchor->map pairing (r5, from tools/diag_anchor_coverage):
-            # door/window ride the FINEST 3D map (8 cm sites — at the r4
-            # 32 cm placement window best-quality capped at p50 0.48 <
-            # fg 0.55, so windows trained on rescue anchors only and
-            # never fired); slabs ride the 32 cm 3D map whose sites
-            # carry REAL z, so ceiling anchors sit at ceiling height
-            # (the reference parks slabs on z=0 BEV sites and ceilings
-            # survive on low-quality rescue alone — its weakest link,
-            # not a behavior to copy). Map order: 0..2 = 3D scales
+            # the selector MUST be a permutation — the RPN head computes
+            # logits from map features alone (weights shared across
+            # levels, rpn_sparse3d.py:97-107 parity), so two anchor
+            # types on the SAME map get byte-identical objectness and
+            # box regression with conflicting targets (the r5 first gate
+            # run: selector (0,0,0,3,2,5) put wall+door+window on one
+            # map — train-split door/window AP 0.17/0.00 with full
+            # anchor coverage, and wall localization degraded from the
+            # averaged regression targets). Placement: window on the
+            # finest (8cm) 3D map (needs real z — at the r4 32cm
+            # placement window best quality capped at p50 0.48 < fg
+            # 0.55); door on the 8cm BEV map (full-height anchor z 2.0
+            # == door z extent, z-IoU 1); wall on the 16cm 3D map;
+            # slabs on the 32cm 3D map whose sites carry REAL z so
+            # ceiling anchors sit at ceiling height (the reference
+            # parks slabs on z=0 BEV sites and ceilings survive on
+            # low-quality rescue alone — its weakest link, not a
+            # behavior to copy). Map order: 0..2 = 3D scales
             # (8/16/32 cm), 3..5 = their BEV copies.
-            rpn_3d_2d_selector=(0, 0, 0, 3, 2, 5),
+            rpn_3d_2d_selector=(1, 3, 0, 4, 2, 5),
             # class-matched anchors (see tools/overfit_check.py rationale;
             # reference 6c set 6c_Fpn4321_bs1_lr5.yaml ANCHOR_SIZES_3D)
             anchor_sizes_3d=((0.4, 1.5, 2.7),    # wall pieces
